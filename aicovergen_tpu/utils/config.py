@@ -1,0 +1,49 @@
+"""Runtime configuration for the TPU cover pipeline.
+
+Replaces the reference's ``Config`` class (reference src/rvc.py:20-95), which
+sniffed NVIDIA GPU names and VRAM to pick fp16 and VC segmentation windows
+(and self-rewrote its own config files on 16xx GPUs — intentionally not
+reproduced).  On TPU we have plentiful HBM, so the default is the largest
+("6G"-tier) segmentation config; everything is overridable.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+
+
+@dataclasses.dataclass(frozen=True)
+class RuntimeConfig:
+    """VC segmentation + precision settings.
+
+    x_pad/x_query/x_center/x_max are in seconds and keep the exact semantics
+    of reference src/rvc.py:76-95 / src/vc_infer_pipeline.py:63-80:
+      * x_pad    — reflect padding added to both ends of each VC segment
+      * x_query  — half-width of the minimum-energy split-point search window
+      * x_center — spacing between candidate split points
+      * x_max    — audio shorter than this is converted in one piece
+    """
+
+    x_pad: int = 3
+    x_query: int = 10
+    x_center: int = 60
+    x_max: int = 65
+    # bfloat16 is the TPU-native reduced precision (MXU-friendly); the
+    # reference used fp16 on CUDA (src/rvc.py:29-75).
+    use_bf16: bool = True
+    # Static-shape bucketing granularity (samples at 16 kHz) for jit caches.
+    bucket_samples: int = 16000
+    # Devices used for data-parallel chunk batching; None = all.
+    num_devices: int | None = None
+
+    @property
+    def compute_dtype(self):
+        import jax.numpy as jnp
+
+        return jnp.bfloat16 if self.use_bf16 else jnp.float32
+
+
+def default_config() -> RuntimeConfig:
+    use_bf16 = os.environ.get("AICG_TPU_BF16", "1") != "0"
+    return RuntimeConfig(use_bf16=use_bf16)
