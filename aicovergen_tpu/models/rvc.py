@@ -1,0 +1,352 @@
+"""RVC synthesizer (VITS flow decoder + NSF-HiFiGAN vocoder) in functional JAX.
+
+Port of the inference path of the four reference synthesizer classes
+SynthesizerTrnMs{256,768}NSFsid[_nono] (reference src/infer_pack/models.py:
+532-955): text encoder with relative attention, reverse residual-coupling
+flow, and the NSF (harmonic-source) HiFi-GAN generator.  Parameters are
+nested dicts mirroring the torch state_dict (weight-norm folded at
+conversion; enc_q is training-only and never loaded).
+
+Stochasticity (the z_p noise draw, models.py:748, and the SineGen additive
+noise, models.py:359-369) is injected through an explicit `jax.random` key —
+or caller-provided arrays for golden parity tests, following the precedent of
+the reference's ONNX export which takes `rnd` as an input
+(reference src/infer_pack/models_onnx.py:635-646).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass, field
+from typing import Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from . import attention
+from .layers import (
+    LRELU_SLOPE,
+    conv1d,
+    conv_transpose1d,
+    embedding,
+    fused_gate,
+    interpolate_linear_align_corners,
+    interpolate_nearest,
+    leaky_relu,
+    linear,
+    sequence_mask,
+)
+
+
+@dataclass(frozen=True)
+class RVCConfig:
+    """cpt["config"] layout of an RVC .pth checkpoint
+    (reference src/rvc.py:117-131)."""
+
+    spec_channels: int = 1025
+    segment_size: int = 32
+    inter_channels: int = 192
+    hidden_channels: int = 192
+    filter_channels: int = 768
+    n_heads: int = 2
+    n_layers: int = 6
+    kernel_size: int = 3
+    p_dropout: float = 0.0
+    resblock: str = "1"
+    resblock_kernel_sizes: Sequence[int] = (3, 7, 11)
+    resblock_dilation_sizes: Sequence[Sequence[int]] = ((1, 3, 5), (1, 3, 5), (1, 3, 5))
+    upsample_rates: Sequence[int] = (10, 10, 2, 2)
+    upsample_initial_channel: int = 512
+    upsample_kernel_sizes: Sequence[int] = (16, 16, 4, 4)
+    spk_embed_dim: int = 109
+    gin_channels: int = 256
+    sr: int = 40000
+    # derived / loader-provided
+    version: str = "v2"  # v1: 256-d phone feats, v2: 768-d
+    if_f0: bool = True
+
+    @property
+    def upp(self) -> int:
+        return int(np.prod(self.upsample_rates))
+
+    @classmethod
+    def from_cpt_config(cls, cfg_list, version: str, if_f0: bool) -> "RVCConfig":
+        sr = cfg_list[-1]
+        if isinstance(sr, str):
+            sr = {"32k": 32000, "40k": 40000, "48k": 48000}[sr]
+        return cls(
+            spec_channels=cfg_list[0],
+            segment_size=cfg_list[1],
+            inter_channels=cfg_list[2],
+            hidden_channels=cfg_list[3],
+            filter_channels=cfg_list[4],
+            n_heads=cfg_list[5],
+            n_layers=cfg_list[6],
+            kernel_size=cfg_list[7],
+            p_dropout=cfg_list[8],
+            resblock=str(cfg_list[9]),
+            resblock_kernel_sizes=tuple(cfg_list[10]),
+            resblock_dilation_sizes=tuple(tuple(d) for d in cfg_list[11]),
+            upsample_rates=tuple(cfg_list[12]),
+            upsample_initial_channel=cfg_list[13],
+            upsample_kernel_sizes=tuple(cfg_list[14]),
+            spk_embed_dim=cfg_list[15],
+            gin_channels=cfg_list[16],
+            sr=sr,
+            version=version,
+            if_f0=if_f0,
+        )
+
+
+# ---------------------------------------------------------------------------
+# Text encoder (reference models.py:17-108)
+# ---------------------------------------------------------------------------
+
+
+def text_encoder(p, phone, pitch, lengths, cfg: RVCConfig):
+    """phone (B, T, 256|768), pitch (B, T) int or None ->
+    (m, logs, x_mask) each (B, inter|1, T)."""
+    x = linear(p["emb_phone"], phone)
+    if pitch is not None:
+        x = x + embedding(p["emb_pitch"], pitch)
+    x = x * math.sqrt(cfg.hidden_channels)
+    x = leaky_relu(x, 0.1)
+    x = jnp.swapaxes(x, 1, 2)  # (B, H, T)
+    x_mask = sequence_mask(lengths, x.shape[2])[:, None, :].astype(x.dtype)
+    x = attention.encoder(
+        p["encoder"], x * x_mask, x_mask, cfg.n_heads, cfg.n_layers, cfg.kernel_size
+    )
+    stats = conv1d(p["proj"], x) * x_mask
+    m, logs = jnp.split(stats, 2, axis=1)
+    return m, logs, x_mask
+
+
+# ---------------------------------------------------------------------------
+# WaveNet + residual coupling flow (reference modules.py:136-221, 405-459)
+# ---------------------------------------------------------------------------
+
+
+def wavenet(p, x, x_mask, g, hidden: int, kernel_size: int, dilation_rate: int, n_layers: int):
+    output = jnp.zeros_like(x)
+    if g is not None:
+        g = conv1d(p["cond_layer"], g)
+    for i in range(n_layers):
+        dilation = dilation_rate**i
+        padding = (kernel_size * dilation - dilation) // 2
+        x_in = conv1d(p["in_layers"][str(i)], x, padding=padding, dilation=dilation)
+        if g is not None:
+            g_l = g[:, i * 2 * hidden : (i + 1) * 2 * hidden]
+        else:
+            g_l = jnp.zeros_like(x_in)
+        acts = fused_gate(x_in, g_l, hidden)
+        res_skip = conv1d(p["res_skip_layers"][str(i)], acts)
+        if i < n_layers - 1:
+            x = (x + res_skip[:, :hidden]) * x_mask
+            output = output + res_skip[:, hidden:]
+        else:
+            output = output + res_skip
+    return output * x_mask
+
+
+def coupling_layer_reverse(p, x, x_mask, g, hidden: int):
+    """Mean-only affine coupling, reverse direction
+    (reference modules.py:440-459)."""
+    half = x.shape[1] // 2
+    x0, x1 = x[:, :half], x[:, half:]
+    h = conv1d(p["pre"], x0) * x_mask
+    h = wavenet(p["enc"], h, x_mask, g, hidden, kernel_size=5, dilation_rate=1, n_layers=3)
+    m = conv1d(p["post"], h) * x_mask
+    x1 = (x1 - m) * x_mask
+    return jnp.concatenate([x0, x1], axis=1)
+
+
+def flow_reverse(p, x, x_mask, g, cfg: RVCConfig, n_flows: int = 4):
+    """ResidualCouplingBlock reverse (reference models.py:146-153): the flows
+    list interleaves couplings (even indices, with params) and Flips."""
+    for i in reversed(range(n_flows)):
+        x = jnp.flip(x, axis=1)  # Flip (reverse order: flip precedes coupling)
+        x = coupling_layer_reverse(p["flows"][str(2 * i)], x, x_mask, g, cfg.hidden_channels)
+    return x
+
+
+# ---------------------------------------------------------------------------
+# NSF source (reference models.py:281-419)
+# ---------------------------------------------------------------------------
+
+
+def sine_gen(
+    f0: jnp.ndarray,
+    upp: int,
+    sampling_rate: int,
+    harmonic_num: int = 0,
+    sine_amp: float = 0.1,
+    noise_std: float = 0.003,
+    voiced_threshold: float = 0.0,
+    noise: Optional[jnp.ndarray] = None,
+    rng: Optional[jax.Array] = None,
+):
+    """SineGen.forward (reference models.py:320-370): cumulative-phase sine
+    with wrap correction, nearest/linear interpolation to sample rate, and
+    voiced/unvoiced noise mixing.  f0: (B, T) frame-rate Hz."""
+    dim = harmonic_num + 1
+    f0 = f0[:, :, None]  # (B, T, 1)
+    harmonics = jnp.arange(1, dim + 1, dtype=f0.dtype)
+    f0_buf = f0 * harmonics  # (B, T, dim)
+    rad_values = (f0_buf / sampling_rate) % 1.0
+    # harmonic_num == 0 → rand_ini is all zero (models.py:337-341)
+    tmp_over_one = jnp.cumsum(rad_values, axis=1) * upp
+    tmp_over_one = interpolate_linear_align_corners(
+        jnp.swapaxes(tmp_over_one, 1, 2), upp
+    ).swapaxes(1, 2)
+    rad_values_up = interpolate_nearest(jnp.swapaxes(rad_values, 1, 2), upp).swapaxes(1, 2)
+    tmp_over_one = tmp_over_one % 1.0
+    wraps = (tmp_over_one[:, 1:] - tmp_over_one[:, :-1]) < 0
+    cumsum_shift = jnp.concatenate(
+        [jnp.zeros_like(wraps[:, :1], dtype=rad_values_up.dtype), -1.0 * wraps], axis=1
+    )
+    sine_waves = jnp.sin(jnp.cumsum(rad_values_up + cumsum_shift, axis=1) * 2 * np.pi)
+    sine_waves = sine_waves * sine_amp
+
+    uv = (f0 > voiced_threshold).astype(sine_waves.dtype)
+    uv = interpolate_nearest(jnp.swapaxes(uv, 1, 2), upp).swapaxes(1, 2)
+    noise_amp = uv * noise_std + (1 - uv) * sine_amp / 3
+    if noise is None:
+        if rng is None:
+            noise = jnp.zeros_like(sine_waves)
+        else:
+            noise = jax.random.normal(rng, sine_waves.shape, sine_waves.dtype)
+    return sine_waves * uv + noise_amp * noise, uv
+
+
+def source_module(p, f0, upp: int, sampling_rate: int, noise=None, rng=None):
+    """SourceModuleHnNSF (reference models.py:373-419): sine harmonics ->
+    linear merge -> tanh.  Returns (B, T*upp, 1)."""
+    sine_wavs, _uv = sine_gen(f0, upp, sampling_rate, noise=noise, rng=rng)
+    return jnp.tanh(linear(p["l_linear"], sine_wavs))
+
+
+# ---------------------------------------------------------------------------
+# HiFi-GAN resblocks + generators (reference modules.py:224-363, models.py:205-278, 422-522)
+# ---------------------------------------------------------------------------
+
+
+def _resblock1(p, x, kernel_size: int, dilations):
+    for j, d in enumerate(dilations):
+        xt = leaky_relu(x, LRELU_SLOPE)
+        xt = conv1d(p["convs1"][str(j)], xt, padding=(kernel_size * d - d) // 2, dilation=d)
+        xt = leaky_relu(xt, LRELU_SLOPE)
+        xt = conv1d(p["convs2"][str(j)], xt, padding=(kernel_size - 1) // 2)
+        x = xt + x
+    return x
+
+
+def _resblock2(p, x, kernel_size: int, dilations):
+    for j, d in enumerate(dilations):
+        xt = leaky_relu(x, LRELU_SLOPE)
+        xt = conv1d(p["convs"][str(j)], xt, padding=(kernel_size * d - d) // 2, dilation=d)
+        x = xt + x
+    return x
+
+
+def _resblock_stack(p, x, i: int, cfg: RVCConfig):
+    num_kernels = len(cfg.resblock_kernel_sizes)
+    xs = None
+    for j, (k, d) in enumerate(zip(cfg.resblock_kernel_sizes, cfg.resblock_dilation_sizes)):
+        blk = p["resblocks"][str(i * num_kernels + j)]
+        out = _resblock1(blk, x, k, d) if cfg.resblock == "1" else _resblock2(blk, x, k, d)
+        xs = out if xs is None else xs + out
+    return xs / num_kernels
+
+
+def generator_nsf(p, x, f0, g, cfg: RVCConfig, noise=None, rng=None):
+    """GeneratorNSF.forward (reference models.py:494-516).
+    x: (B, inter, T), f0: (B, T) Hz at frame rate, g: (B, gin, 1)."""
+    upp = cfg.upp
+    har_source = source_module(p["m_source"], f0, upp, cfg.sr, noise=noise, rng=rng)
+    har_source = jnp.swapaxes(har_source, 1, 2)  # (B, 1, T*upp)
+
+    x = conv1d(p["conv_pre"], x, padding=3)
+    if g is not None:
+        x = x + conv1d(p["cond"], g)
+
+    rates = cfg.upsample_rates
+    for i, (u, k) in enumerate(zip(rates, cfg.upsample_kernel_sizes)):
+        x = leaky_relu(x, LRELU_SLOPE)
+        x = conv_transpose1d(p["ups"][str(i)], x, stride=u, padding=(k - u) // 2)
+        if i + 1 < len(rates):
+            stride_f0 = int(np.prod(rates[i + 1 :]))
+            x_source = conv1d(
+                p["noise_convs"][str(i)],
+                har_source,
+                stride=stride_f0,
+                padding=stride_f0 // 2,
+            )
+        else:
+            x_source = conv1d(p["noise_convs"][str(i)], har_source)
+        x = x + x_source
+        x = _resblock_stack(p, x, i, cfg)
+    # reference models.py:513 uses F.leaky_relu's default slope (0.01)
+    x = leaky_relu(x, 0.01)
+    x = conv1d(p["conv_post"], x, padding=3)
+    return jnp.tanh(x)
+
+
+def generator(p, x, g, cfg: RVCConfig):
+    """Plain HiFi-GAN Generator (no-f0 models; reference models.py:253-272)."""
+    x = conv1d(p["conv_pre"], x, padding=3)
+    if g is not None:
+        x = x + conv1d(p["cond"], g)
+    for i, (u, k) in enumerate(zip(cfg.upsample_rates, cfg.upsample_kernel_sizes)):
+        x = leaky_relu(x, LRELU_SLOPE)
+        x = conv_transpose1d(p["ups"][str(i)], x, stride=u, padding=(k - u) // 2)
+        x = _resblock_stack(p, x, i, cfg)
+    # reference models.py:268 uses F.leaky_relu's default slope (0.01)
+    x = leaky_relu(x, 0.01)
+    x = conv1d(p["conv_post"], x, padding=3)
+    return jnp.tanh(x)
+
+
+# ---------------------------------------------------------------------------
+# Synthesizer inference (reference models.py:634-640 / 745-751 / 847-853 / 949-955)
+# ---------------------------------------------------------------------------
+
+
+def synthesizer_infer(
+    params,
+    cfg: RVCConfig,
+    phone: jnp.ndarray,
+    phone_lengths: jnp.ndarray,
+    pitch: Optional[jnp.ndarray],
+    nsff0: Optional[jnp.ndarray],
+    sid: jnp.ndarray,
+    noise_scale: float = 0.66666,
+    rng: Optional[jax.Array] = None,
+    zp_noise: Optional[jnp.ndarray] = None,
+    sine_noise: Optional[jnp.ndarray] = None,
+):
+    """Full .infer(): returns (B, 1, T*upp) waveform.
+
+    When `rng` is given, noise is drawn from it; explicit zp_noise /
+    sine_noise arrays override (golden-test determinism).  With neither,
+    noise is zero (deterministic mode).
+    """
+    g = embedding(params["emb_g"], sid)[:, :, None]  # (B, gin, 1)
+    m_p, logs_p, x_mask = text_encoder(params["enc_p"], phone, pitch, phone_lengths, cfg)
+
+    if zp_noise is None:
+        if rng is not None:
+            rng, sub = jax.random.split(rng)
+            zp_noise = jax.random.normal(sub, m_p.shape, m_p.dtype)
+        else:
+            zp_noise = jnp.zeros_like(m_p)
+    z_p = (m_p + jnp.exp(logs_p) * zp_noise * noise_scale) * x_mask
+    z = flow_reverse(params["flow"], z_p, x_mask, g, cfg)
+    z = z * x_mask
+
+    if cfg.if_f0:
+        assert nsff0 is not None
+        return generator_nsf(
+            params["dec"], z, nsff0, g, cfg, noise=sine_noise, rng=rng
+        )
+    return generator(params["dec"], z, g, cfg)
