@@ -32,7 +32,19 @@ def _to_numpy(t) -> np.ndarray:
 
 def fold_weight_norm(flat: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
     """Replace {x.weight_g, x.weight_v} pairs with x.weight = g * v/||v||,
-    matching torch._weight_norm(v, g, dim=0)."""
+    matching torch._weight_norm.  The norm dim is inferred from g's shape
+    (dim=0 for conv/linear, dim=2 for HuBERT's positional conv).  Also
+    handles torch>=2.1 parametrizations naming (original0/original1)."""
+    flat = dict(flat)
+    # normalize parametrizations naming -> weight_g / weight_v
+    for key in list(flat.keys()):
+        if ".parametrizations.weight.original0" in key:
+            base = key.replace(".parametrizations.weight.original0", "")
+            flat[base + ".weight_g"] = flat.pop(key)
+        elif ".parametrizations.weight.original1" in key:
+            base = key.replace(".parametrizations.weight.original1", "")
+            flat[base + ".weight_v"] = flat.pop(key)
+
     out = dict(flat)
     for key in list(flat.keys()):
         if key.endswith(".weight_g"):
@@ -41,7 +53,11 @@ def fold_weight_norm(flat: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
             if vkey in flat:
                 g = flat[key]
                 v = flat[vkey]
-                axes = tuple(range(1, v.ndim))
+                # infer dim: the axis where g is not singleton (g is all-1s
+                # except the kept dim); fall back to 0
+                dims = [i for i, s in enumerate(np.shape(g)) if s != 1]
+                dim = dims[0] if len(dims) == 1 else 0
+                axes = tuple(i for i in range(v.ndim) if i != dim)
                 norm = np.sqrt(np.sum(np.square(v), axis=axes, keepdims=True))
                 out[base + ".weight"] = (g * v / np.maximum(norm, 1e-12)).astype(v.dtype)
                 del out[key], out[vkey]

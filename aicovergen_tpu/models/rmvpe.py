@@ -1,0 +1,137 @@
+"""RMVPE pitch estimator (DeepUnet + BiGRU salience model) in functional JAX.
+
+Port of reference src/rmvpe.py: a 5-level residual conv U-Net over log-mel
+spectrograms (128 mels, 16 kHz, win 1024, hop 160, fmin 30, fmax 8000,
+HTK mel), a 3-channel head, a bidirectional GRU, and a 360-bin sigmoid
+salience output decoded to f0 by local weighted averaging over cents
+(reference rmvpe.py:385-409: argmax ± 4 bins, 20-cent spacing anchored at
+1997.379... cents, threshold 0.03).
+
+Parameter trees mirror the torch state_dict of ``rvc_models/rmvpe.pt``
+(nn.Sequential indices appear as string keys: ConvBlockRes.conv = [conv, bn,
+relu, conv, bn, relu] -> keys '0','1','3','4').
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.mel import mel_filterbank
+from ..ops.stft import hann_window, stft
+from .layers import avg_pool2d, batch_norm, bigru, conv2d, conv_transpose2d, linear
+
+N_MELS = 128
+N_CLASS = 360
+EN_DE_LAYERS = 5
+INTER_LAYERS = 4
+N_BLOCKS = 4
+EN_OUT_CHANNELS = 16
+
+
+def _conv_block_res(p, x):
+    """ConvBlockRes (reference rmvpe.py:23-58): two 3x3 conv+BN+ReLU with a
+    residual (1x1 shortcut when channels change)."""
+    h = conv2d(p["conv"]["0"], x, padding=(1, 1))
+    h = jax.nn.relu(batch_norm(p["conv"]["1"], h))
+    h = conv2d(p["conv"]["3"], h, padding=(1, 1))
+    h = jax.nn.relu(batch_norm(p["conv"]["4"], h))
+    if "shortcut" in p:
+        return h + conv2d(p["shortcut"], x)
+    return h + x
+
+
+def _res_encoder_block(p, x, pool: bool):
+    for i in range(N_BLOCKS):
+        x = _conv_block_res(p["conv"][str(i)], x)
+    if pool:
+        return x, avg_pool2d(x, (2, 2))
+    return x
+
+
+def _res_decoder_block(p, x, skip):
+    x = conv_transpose2d(
+        p["conv1"]["0"], x, stride=(2, 2), padding=(1, 1), output_padding=(1, 1)
+    )
+    x = jax.nn.relu(batch_norm(p["conv1"]["1"], x))
+    x = jnp.concatenate([x, skip], axis=1)
+    for i in range(N_BLOCKS):
+        x = _conv_block_res(p["conv2"][str(i)], x)
+    return x
+
+
+def deep_unet(p, x):
+    """DeepUnet (reference rmvpe.py:190-218) on (B, 1, T, 128)."""
+    x = batch_norm(p["encoder"]["bn"], x)
+    skips = []
+    for i in range(EN_DE_LAYERS):
+        skip, x = _res_encoder_block(p["encoder"]["layers"][str(i)], x, pool=True)
+        skips.append(skip)
+    for i in range(INTER_LAYERS):
+        x = _res_encoder_block(p["intermediate"]["layers"][str(i)], x, pool=False)
+    for i in range(EN_DE_LAYERS):
+        x = _res_decoder_block(p["decoder"]["layers"][str(i)], x, skips[-1 - i])
+    return x
+
+
+@jax.jit
+def e2e_forward(params, mel: jnp.ndarray) -> jnp.ndarray:
+    """E2E.forward (reference rmvpe.py:254-258): (B, 128, T) log-mel ->
+    (B, T, 360) salience."""
+    x = jnp.swapaxes(mel, 1, 2)[:, None]  # (B, 1, T, 128)
+    x = deep_unet(params["unet"], x)
+    x = conv2d(params["cnn"], x, padding=(1, 1))  # (B, 3, T, 128)
+    x = jnp.swapaxes(x, 1, 2).reshape(x.shape[0], x.shape[2], 3 * N_MELS)
+    x = bigru(params["fc"]["0"]["gru"], x)
+    x = linear(params["fc"]["1"], x)
+    return jax.nn.sigmoid(x)
+
+
+# cents mapping (reference rmvpe.py:347-348)
+CENTS_MAPPING = np.pad(20 * np.arange(N_CLASS) + 1997.3794084376191, (4, 4))
+
+
+@functools.partial(jax.jit, static_argnames=("thred",))
+def decode_cents(salience: jnp.ndarray, thred: float = 0.03) -> jnp.ndarray:
+    """to_local_average_cents + cents->Hz (reference rmvpe.py:359-409).
+    salience: (T, 360) -> f0 (T,) Hz with 0 for unvoiced."""
+    center = jnp.argmax(salience, axis=1) + 4
+    padded = jnp.pad(salience, ((0, 0), (4, 4)))
+    offsets = jnp.arange(9) - 4
+    idx = center[:, None] + offsets[None, :]
+    weights = jnp.take_along_axis(padded, idx, axis=1)
+    cents_map = jnp.asarray(CENTS_MAPPING)
+    cents = jnp.sum(weights * cents_map[idx], axis=1) / jnp.sum(weights, axis=1)
+    maxx = jnp.max(salience, axis=1)
+    cents = jnp.where(maxx > thred, cents, 0.0)
+    f0 = 10.0 * (2.0 ** (cents / 1200.0))
+    return jnp.where(f0 == 10.0, 0.0, f0)
+
+
+class RMVPE:
+    """Inference wrapper (reference rmvpe.py:328-383): log-mel -> pad frames
+    to a multiple of 32 (reflect) -> E2E -> decode."""
+
+    def __init__(self, params: dict, dtype=jnp.float32):
+        self.params = params
+        self.dtype = dtype
+        self.mel_basis = mel_filterbank(16000, 1024, N_MELS, 30, 8000, htk=True)
+        self.window = hann_window(1024)
+
+    def mel(self, audio: jnp.ndarray) -> jnp.ndarray:
+        spec = stft(audio, n_fft=1024, hop=160, window=self.window, center=True)
+        mel = jnp.matmul(jnp.asarray(self.mel_basis), jnp.abs(spec))
+        return jnp.log(jnp.clip(mel, min=1e-5))
+
+    def infer(self, audio: jnp.ndarray, thred: float = 0.03) -> jnp.ndarray:
+        """audio (samples,) float 16 kHz -> f0 (frames,) Hz."""
+        mel = self.mel(audio[None])
+        n_frames = mel.shape[-1]
+        pad = 32 * ((n_frames - 1) // 32 + 1) - n_frames
+        mel = jnp.pad(mel, ((0, 0), (0, 0), (0, pad)), mode="reflect")
+        hidden = e2e_forward(self.params, mel)[:, :n_frames]
+        return decode_cents(hidden[0], thred=thred)
