@@ -35,38 +35,60 @@ def _gelu(x):
     return jax.nn.gelu(x, approximate=False)
 
 
-def feature_extractor(p, audio: jnp.ndarray) -> jnp.ndarray:
+def feature_extractor(p, audio: jnp.ndarray, valid_samples=None) -> jnp.ndarray:
     """(B, samples) -> (B, 512, frames); group-norm on the first layer only
-    (feat_extract_norm='group')."""
+    (feat_extract_norm='group').
+
+    valid_samples (B,) makes zero-padded bucket inputs produce the same
+    values as an unpadded run on the valid prefix: GN statistics are masked
+    to valid frames and each layer's invalid tail is re-zeroed.
+    """
     x = audio[:, None, :]
+    valid = valid_samples
     for i, (_ch, k, s) in enumerate(CONV_LAYERS):
         li = p["conv_layers"][str(i)]
         x = conv1d(li["conv"], x, stride=s)
+        if valid is not None:
+            valid = (valid - k) // s + 1
         if i == 0:
-            x = group_norm(li["layer_norm"], x, num_groups=512)
+            x = group_norm(li["layer_norm"], x, num_groups=512, valid_len=valid)
         x = _gelu(x)
+        if valid is not None:
+            mask = jnp.arange(x.shape[-1])[None, None, :] < valid[:, None, None]
+            x = jnp.where(mask, x, 0.0)
     return x
 
 
-def _attention(p, x: jnp.ndarray) -> jnp.ndarray:
-    """Standard MHA on (B, T, D)."""
+def _attention(p, x: jnp.ndarray, key_mask: Optional[jnp.ndarray]) -> jnp.ndarray:
+    """Standard MHA on (B, T, D); key_mask (B, T) True=valid (fairseq
+    padding_mask semantics: padded keys excluded from softmax)."""
     b, t, d = x.shape
     hd = d // N_HEADS
     q = linear(p["q_proj"], x).reshape(b, t, N_HEADS, hd).swapaxes(1, 2)
     k = linear(p["k_proj"], x).reshape(b, t, N_HEADS, hd).swapaxes(1, 2)
     v = linear(p["v_proj"], x).reshape(b, t, N_HEADS, hd).swapaxes(1, 2)
     scores = jnp.einsum("bhtd,bhsd->bhts", q / jnp.sqrt(jnp.asarray(hd, x.dtype)), k)
+    if key_mask is not None:
+        scores = jnp.where(key_mask[:, None, None, :], scores, -jnp.inf)
     attn = jax.nn.softmax(scores, axis=-1)
     out = jnp.einsum("bhts,bhsd->bhtd", attn, v).swapaxes(1, 2).reshape(b, t, d)
     return linear(p["out_proj"], out)
 
 
-def _encoder_layer(p, x: jnp.ndarray) -> jnp.ndarray:
+def _encoder_layer(p, x: jnp.ndarray, key_mask: Optional[jnp.ndarray]) -> jnp.ndarray:
     """Post-LN transformer layer (do_stable_layer_norm=False)."""
-    x = layer_norm(p["layer_norm"], x + _attention(p["attention"], x))
+    x = layer_norm(p["layer_norm"], x + _attention(p["attention"], x, key_mask))
     h = _gelu(linear(p["feed_forward"]["intermediate_dense"], x))
     h = linear(p["feed_forward"]["output_dense"], h)
     return layer_norm(p["final_layer_norm"], x + h)
+
+
+def conv_output_frames(samples: int) -> int:
+    """Frame count of the conv frontend for a given sample count."""
+    t = samples
+    for _ch, k, s in CONV_LAYERS:
+        t = (t - k) // s + 1
+    return t
 
 
 def pos_conv_embed(p, x: jnp.ndarray) -> jnp.ndarray:
@@ -83,14 +105,25 @@ def hubert_extract(
     audio: jnp.ndarray,
     output_layer: int = 12,
     apply_final_proj: bool = False,
+    valid_samples: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """(B, samples) float audio at 16 kHz -> (B, frames, 768|256) features.
 
     output_layer counts applied transformer layers (fairseq convention:
-    v1 taps 9, v2 taps 12).
+    v1 taps 9, v2 taps 12).  valid_samples (B,) gives the true (unpadded)
+    sample counts when the batch is zero-padded to a static bucket shape;
+    GN statistics and attention keys are restricted to the valid prefix so
+    valid-frame features match an unpadded run (fairseq padding_mask
+    semantics).
     """
-    feats = feature_extractor(params["feature_extractor"], audio)
+    feats = feature_extractor(params["feature_extractor"], audio, valid_samples=valid_samples)
     x = jnp.swapaxes(feats, 1, 2)  # (B, T, 512)
+    key_mask = None
+    if valid_samples is not None:
+        v = valid_samples
+        for _ch, k, s in CONV_LAYERS:
+            v = (v - k) // s + 1
+        key_mask = jnp.arange(x.shape[1])[None, :] < v[:, None]
     x = layer_norm(params["feature_projection"]["layer_norm"], x)
     x = linear(params["feature_projection"]["projection"], x)
 
@@ -98,16 +131,22 @@ def hubert_extract(
     x = x + pos_conv_embed(enc["pos_conv_embed"], x)
     x = layer_norm(enc["layer_norm"], x)
     for i in range(output_layer):
-        x = _encoder_layer(enc["layers"][str(i)], x)
+        x = _encoder_layer(enc["layers"][str(i)], x, key_mask)
 
     if apply_final_proj:
         x = linear(params["final_proj"], x)
     return x
 
 
-def hubert_features(params, audio: jnp.ndarray, version: str = "v2") -> jnp.ndarray:
+def hubert_features(
+    params, audio: jnp.ndarray, version: str = "v2", valid_samples=None
+) -> jnp.ndarray:
     """The exact feature contract of the reference VC pipeline
     (vc_infer_pipeline.py:398-406)."""
     if version == "v1":
-        return hubert_extract(params, audio, output_layer=9, apply_final_proj=True)
-    return hubert_extract(params, audio, output_layer=12, apply_final_proj=False)
+        return hubert_extract(
+            params, audio, output_layer=9, apply_final_proj=True, valid_samples=valid_samples
+        )
+    return hubert_extract(
+        params, audio, output_layer=12, apply_final_proj=False, valid_samples=valid_samples
+    )

@@ -54,14 +54,27 @@ def layer_norm(p, x, axis: int = -1, eps: float = 1e-5):
     return xn * w.reshape(shape) + b.reshape(shape)
 
 
-def group_norm(p, x, num_groups: int, eps: float = 1e-5):
-    """torch GroupNorm over (B, C, ...)."""
+def group_norm(p, x, num_groups: int, eps: float = 1e-5, valid_len=None):
+    """torch GroupNorm over (B, C, ...).
+
+    valid_len (B,) restricts the statistics to the first valid_len positions
+    of the last axis — required for static-bucket padding to be exact, since
+    GN statistics span the whole time axis.
+    """
     b, c = x.shape[0], x.shape[1]
     g = num_groups
     xg = x.reshape((b, g, c // g) + x.shape[2:])
     axes = tuple(range(2, xg.ndim))
-    mean = jnp.mean(xg, axis=axes, keepdims=True)
-    var = jnp.var(xg, axis=axes, keepdims=True)
+    if valid_len is None:
+        mean = jnp.mean(xg, axis=axes, keepdims=True)
+        var = jnp.var(xg, axis=axes, keepdims=True)
+    else:
+        mask_shape = (b,) + (1,) * (xg.ndim - 2) + (x.shape[-1],)
+        mask = (jnp.arange(x.shape[-1])[None, :] < valid_len[:, None]).reshape(mask_shape)
+        count = jnp.sum(mask, axis=axes, keepdims=True) * (c // g) * 1.0
+        xm = jnp.where(mask, xg, 0.0)
+        mean = jnp.sum(xm, axis=axes, keepdims=True) / count
+        var = jnp.sum(jnp.where(mask, jnp.square(xg - mean), 0.0), axis=axes, keepdims=True) / count
     xg = (x.reshape(xg.shape) - mean) * jax.lax.rsqrt(var + eps)
     xn = xg.reshape(x.shape)
     shape = (1, c) + (1,) * (x.ndim - 2)

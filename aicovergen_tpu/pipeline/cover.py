@@ -1,0 +1,283 @@
+"""End-to-end AI-cover generation (the reference's song_cover_pipeline).
+
+Behavioral port of src/main.py:166-316 with the same stage-cache contract:
+  song_output/<id>/ holds <name>.wav (stereo original),
+  <name>_Vocals.wav, <name>_Instrumental.wav, <name>_Vocals_Main.wav,
+  <name>_Vocals_Backup.wav, <name>_Vocals_Main_DeReverb.wav, the converted
+  vocals keyed by all VC params in the filename, and the final mix.
+
+Song identity: YouTube video id or blake2b-11 content hash
+(reference main.py:31-60, 150-156, 251-267).
+
+On-device redesign: audio stays in memory between stages (the reference
+round-trips WAV files between every stage); files are still *written* to
+preserve the cache/inspection contract, but never re-read within a run.
+"""
+
+from __future__ import annotations
+
+import gc
+import os
+from dataclasses import dataclass, field
+from typing import Optional
+from urllib.parse import parse_qs, urlparse
+
+import numpy as np
+
+from ..io.assets import AssetStore, mdx_params_for
+from ..io.audio import load_audio, save_audio, to_stereo, write_wav
+from ..ops.resample import resample_poly_np
+from ..utils.config import RuntimeConfig, default_config
+from ..utils.hashing import file_hash_blake2b
+from ..utils.progress import ProgressFn, display_progress
+from .effects import add_audio_effects, combine_audio, pitch_shift_all
+from .loader import build_voice_converter
+from .separate import separate
+
+SR_MDX = 44100
+
+
+def get_youtube_video_id(url: str, ignore_playlist: bool = True) -> Optional[str]:
+    """reference main.py:31-60."""
+    query = urlparse(url)
+    if query.hostname == "youtu.be":
+        if query.path[1:] == "watch":
+            return query.query[2:]
+        return query.path[1:]
+    if query.hostname in {"www.youtube.com", "youtube.com", "music.youtube.com"}:
+        if not ignore_playlist:
+            try:
+                return parse_qs(query.query)["list"][0]
+            except KeyError:
+                pass
+        if query.path == "/watch":
+            return parse_qs(query.query)["v"][0]
+        if query.path[:7] == "/watch/":
+            return query.path.split("/")[1]
+        if query.path[:7] == "/embed/":
+            return query.path.split("/")[2]
+        if query.path[:3] == "/v/":
+            return query.path.split("/")[2]
+    return None
+
+
+def yt_download(link: str) -> str:
+    """yt-dlp bestaudio download (reference main.py:63-78); gated on the
+    yt_dlp package being installed."""
+    try:
+        import yt_dlp  # type: ignore
+    except ImportError as e:
+        raise RuntimeError(
+            "yt-dlp is not installed in this environment; pass a local audio file"
+        ) from e
+    ydl_opts = {
+        "format": "bestaudio",
+        "outtmpl": "%(title)s",
+        "nocheckcertificate": True,
+        "ignoreerrors": True,
+        "no_warnings": True,
+        "quiet": True,
+        "extractaudio": True,
+        "postprocessors": [{"key": "FFmpegExtractAudio", "preferredcodec": "mp3"}],
+    }
+    with yt_dlp.YoutubeDL(ydl_opts) as ydl:
+        result = ydl.extract_info(link, download=True)
+        return ydl.prepare_filename(result, outtmpl="%(title)s.mp3")
+
+
+@dataclass
+class CoverPipeline:
+    store: AssetStore
+    runtime: RuntimeConfig = field(default_factory=default_config)
+    mdx_batch_size: int = 8
+    shard = None  # optional parallel.mesh.shard_batch
+
+    # ----------------------------------------------------------------- MDX
+    def _load_mdx(self, filename: str):
+        from ..models.mdx import load_mdx_model
+
+        path = self.store.mdx_model_path(filename)
+        if not os.path.exists(path):
+            raise FileNotFoundError(
+                f"{path} missing — run `aicovergen-download` or place the ONNX file there"
+            )
+        params = mdx_params_for(path)
+        model_fn = load_mdx_model(path)
+        return model_fn, params
+
+    def _run_separation(self, wave: np.ndarray, model_file: str, denoise: bool = True):
+        model_fn, params = self._load_mdx(model_file)
+        primary, complement = separate(
+            wave, model_fn, params,
+            denoise=denoise, batch_size=self.mdx_batch_size, shard=self.shard,
+        )
+        del model_fn
+        gc.collect()
+        return primary, complement
+
+    def separate_song(self, song_dir: str, base: str, orig: np.ndarray, progress=None):
+        """3-stage separation chain (reference main.py:166-190). Returns dict
+        of stems (2, T) float32 at 44.1 kHz and writes the cache files."""
+        display_progress("[~] Separating Vocals from Instrumental...", 0.1, progress)
+        vocals, instrumental = self._run_separation(orig, "UVR-MDX-NET-Voc_FT.onnx")
+        display_progress("[~] Separating Main Vocals from Backup Vocals...", 0.2, progress)
+        backup, main = self._run_separation(vocals, "UVR_MDXNET_KARA_2.onnx")
+        display_progress("[~] Applying DeReverb to Vocals...", 0.3, progress)
+        _reverb, dereverb = self._run_separation(main, "Reverb_HQ_By_FoxJoy.onnx")
+
+        stems = {
+            "Vocals": vocals,
+            "Instrumental": instrumental,
+            "Vocals_Backup": backup,
+            "Vocals_Main": main,
+            "Vocals_Main_DeReverb": dereverb,
+        }
+        for suffix, audio in stems.items():
+            write_wav(os.path.join(song_dir, f"{base}_{suffix}.wav"), audio, SR_MDX)
+        return stems
+
+    # ---------------------------------------------------------------- cover
+    def song_cover(
+        self,
+        song_input: str,
+        voice_model: str,
+        pitch_change: int = 0,
+        keep_files: bool = False,
+        main_gain: float = 0,
+        backup_gain: float = 0,
+        inst_gain: float = 0,
+        index_rate: float = 0.5,
+        filter_radius: int = 3,
+        rms_mix_rate: float = 0.25,
+        f0_method: str = "rmvpe",
+        crepe_hop_length: int = 128,
+        protect: float = 0.33,
+        pitch_change_all: float = 0,
+        reverb_rm_size: float = 0.15,
+        reverb_wet: float = 0.2,
+        reverb_dry: float = 0.8,
+        reverb_damping: float = 0.7,
+        output_format: str = "mp3",
+        progress: Optional[ProgressFn] = None,
+    ) -> str:
+        """Generate a cover; returns the output file path.
+        Parameter surface == reference song_cover_pipeline (main.py:236-316)."""
+        if not song_input or not voice_model:
+            raise ValueError("song input and voice model are required")
+        display_progress("[~] Starting AI Cover Generation Pipeline...", 0.0, progress)
+
+        # --- input typing & song id (main.py:251-267)
+        if urlparse(song_input).scheme == "https":
+            song_id = get_youtube_video_id(song_input)
+            if song_id is None:
+                raise ValueError("Invalid YouTube url.")
+            song_path = None
+        else:
+            song_input = song_input.strip('"')
+            if not os.path.exists(song_input):
+                raise FileNotFoundError(f"{song_input} does not exist.")
+            song_id = file_hash_blake2b(song_input)
+            song_path = song_input
+
+        song_dir = os.path.join(self.store.output_dir, song_id)
+        os.makedirs(song_dir, exist_ok=True)
+
+        # --- acquire + stereo decode
+        if song_path is None:
+            display_progress("[~] Downloading song...", 0.05, progress)
+            song_path = yt_download(song_input.split("&")[0])
+        base = os.path.splitext(os.path.basename(song_path))[0]
+
+        # --- stage cache (main.py:269-283)
+        def stem_path(suffix):
+            return os.path.join(song_dir, f"{base}_{suffix}.wav")
+
+        cached = all(
+            os.path.exists(stem_path(s))
+            for s in ("Instrumental", "Vocals_Main_DeReverb", "Vocals_Backup")
+        )
+        if cached and not keep_files:
+            from ..io.audio import read_wav
+
+            instrumental, _ = read_wav(stem_path("Instrumental"))
+            dereverb, _ = read_wav(stem_path("Vocals_Main_DeReverb"))
+            backup, _ = read_wav(stem_path("Vocals_Backup"))
+        else:
+            wave, sr = load_audio(song_path, sr=None, mono=False)
+            if sr != SR_MDX:
+                wave = resample_poly_np(wave.astype(np.float32), sr, SR_MDX)
+            orig = to_stereo(wave).astype(np.float32)
+            write_wav(os.path.join(song_dir, f"{base}.wav"), orig, SR_MDX)
+            stems = self.separate_song(song_dir, base, orig, progress)
+            instrumental = stems["Instrumental"]
+            dereverb = stems["Vocals_Main_DeReverb"]
+            backup = stems["Vocals_Backup"]
+
+        # --- voice conversion (main.py:285-291)
+        pitch_semitones = pitch_change * 12 + pitch_change_all
+        hop_tag = "" if f0_method != "mangio-crepe" else f"_{crepe_hop_length}"
+        ai_vocals_name = (
+            f"{base}_{voice_model}_p{pitch_semitones}_i{index_rate}_fr{filter_radius}"
+            f"_rms{rms_mix_rate}_pro{protect}_{f0_method}{hop_tag}.wav"
+        )
+        ai_vocals_path = os.path.join(song_dir, ai_vocals_name)
+        if not os.path.exists(ai_vocals_path):
+            display_progress("[~] Converting voice using RVC...", 0.5, progress)
+            vc = build_voice_converter(self.store, voice_model, runtime=self.runtime)
+            vocal_mono = dereverb.mean(axis=0).astype(np.float32)
+            vocal_16k = resample_poly_np(vocal_mono, SR_MDX, 16000)
+            converted, out_sr = vc.convert(
+                vocal_16k.astype(np.float64),
+                f0_up_key=int(pitch_semitones),
+                f0_method=f0_method,
+                index_rate=index_rate,
+                filter_radius=filter_radius,
+                rms_mix_rate=rms_mix_rate,
+                protect=protect,
+                crepe_hop_length=crepe_hop_length,
+            )
+            write_wav(ai_vocals_path, converted[None, :], out_sr)
+            del vc
+            gc.collect()
+
+        from ..io.audio import read_wav
+
+        ai_vocals, ai_sr = read_wav(ai_vocals_path)
+
+        # --- effects (main.py:293-294)
+        display_progress("[~] Applying audio effects to Vocals...", 0.8, progress)
+        ai_vocals_mixed = add_audio_effects(
+            ai_vocals, ai_sr, reverb_rm_size, reverb_wet, reverb_dry, reverb_damping
+        )
+        mixed_path = os.path.splitext(ai_vocals_path)[0] + "_mixed.wav"
+        write_wav(mixed_path, ai_vocals_mixed, ai_sr)
+
+        # --- global pitch shift (main.py:296-299)
+        if pitch_change_all != 0:
+            display_progress("[~] Applying overall pitch change", 0.85, progress)
+            instrumental = pitch_shift_all(instrumental, SR_MDX, pitch_change_all)
+            backup = pitch_shift_all(backup, SR_MDX, pitch_change_all)
+
+        # --- mixdown (main.py:301-302): align rates to 44.1k
+        display_progress("[~] Combining AI Vocals and Instrumentals...", 0.9, progress)
+        if ai_sr != SR_MDX:
+            ai_vocals_mixed = resample_poly_np(ai_vocals_mixed, ai_sr, SR_MDX)
+        mix = combine_audio(
+            to_stereo(ai_vocals_mixed),
+            to_stereo(backup),
+            to_stereo(instrumental),
+            main_gain,
+            backup_gain,
+            inst_gain,
+        )
+        cover_path = os.path.join(song_dir, f"{base} ({voice_model} Ver).{output_format}")
+        cover_path = save_audio(cover_path, mix, SR_MDX, output_format)
+
+        if not keep_files:
+            display_progress("[~] Removing intermediate audio files...", 0.95, progress)
+            for path in (stem_path("Vocals"), stem_path("Vocals_Main"), mixed_path):
+                if os.path.exists(path):
+                    os.remove(path)
+
+        display_progress(f"[+] Cover generated at {cover_path}", 1.0, progress)
+        return cover_path

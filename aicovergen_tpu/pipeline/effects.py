@@ -1,0 +1,78 @@
+"""Post-processing & mixdown (pedalboard/sox/pydub equivalents, on device).
+
+  * add_audio_effects: HighpassFilter -> Compressor(4:1, -15 dB) -> Reverb
+    (reference src/main.py:206-226) — one fused device pass instead of the
+    reference's 1-second streamed chunks.
+  * pitch_shift_all: phase-vocoder semitone shift (reference main.py:138-147).
+  * combine_audio: gain-staged overlay with the reference's built-in
+    -4/-6/-7 dB staging (reference main.py:229-233).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from ..ops.dynamics import compressor, highpass_1st_order
+from ..ops.pitchshift import pitch_shift
+from ..ops.reverb import freeverb
+
+
+def add_audio_effects(
+    audio: np.ndarray,
+    sr: int,
+    reverb_rm_size: float = 0.15,
+    reverb_wet: float = 0.2,
+    reverb_dry: float = 0.8,
+    reverb_damping: float = 0.7,
+) -> np.ndarray:
+    """(C, T) float -> processed (C, T)."""
+    x = jnp.asarray(audio, jnp.float32)
+    x = highpass_1st_order(x, sr)
+    x = compressor(x, sr, threshold_db=-15.0, ratio=4.0)
+    x = freeverb(
+        x,
+        sr,
+        room_size=reverb_rm_size,
+        damping=reverb_damping,
+        wet_level=reverb_wet,
+        dry_level=reverb_dry,
+    )
+    return np.asarray(x, np.float32)
+
+
+def pitch_shift_all(audio: np.ndarray, sr: int, semitones: float) -> np.ndarray:
+    return np.asarray(pitch_shift(jnp.asarray(audio, jnp.float32), sr, semitones), np.float32)
+
+
+def _db_gain(db: float) -> float:
+    return 10.0 ** (db / 20.0)
+
+
+def combine_audio(
+    main_vocals: np.ndarray,
+    backup_vocals: np.ndarray,
+    instrumentals: np.ndarray,
+    main_gain_db: float = 0.0,
+    backup_gain_db: float = 0.0,
+    inst_gain_db: float = 0.0,
+) -> np.ndarray:
+    """Overlay with the reference gain staging: main -4 dB, backup -6 dB,
+    instrumental -7 dB plus user offsets (reference main.py:229-233).
+    All inputs (C, T) at the same sr; output trimmed/padded to the longest
+    (pydub overlay keeps the base segment's length — the main vocal)."""
+    length = main_vocals.shape[-1]
+
+    def prep(x, gain_db):
+        g = _db_gain(gain_db)
+        if x.shape[-1] < length:
+            x = np.pad(x, ((0, 0), (0, length - x.shape[-1])))
+        return x[..., :length] * g
+
+    mix = (
+        prep(main_vocals, -4 + main_gain_db)
+        + prep(backup_vocals, -6 + backup_gain_db)
+        + prep(instrumentals, -7 + inst_gain_db)
+    )
+    return mix.astype(np.float32)

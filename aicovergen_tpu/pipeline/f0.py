@@ -1,0 +1,276 @@
+"""f0 estimation dispatch, semitone shifting, and coarse mel quantization.
+
+Port of the reference's get_f0 (src/vc_infer_pipeline.py:262-370):
+
+  * rmvpe (default, README.md:194) — models/rmvpe.py on device
+  * crepe / crepe-tiny / mangio-crepe / mangio-crepe-tiny — models/crepe.py
+  * pm — autocorrelation pitch (Praat to_pitch_ac semantics, JAX)
+  * dio / harvest — zero-crossing+ACF candidate estimator with StoneMask-style
+    instantaneous-frequency refinement (pyworld-equivalent role; exact
+    pyworld numerics are NOT reproduced — documented divergence, these are
+    non-default methods)
+  * hybrid[a+b+...] — nan-median of member methods
+    (reference vc_infer_pipeline.py:175-260)
+
+The coarse quantizer (1..255 mel bins) reproduces
+vc_infer_pipeline.py:346-370 exactly.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Callable, Dict, Optional
+
+import jax.numpy as jnp
+import numpy as np
+
+F0_MIN = 50.0
+F0_MAX = 1100.0
+SR = 16000
+WINDOW = 160  # frame hop (10 ms at 16 kHz)
+
+
+def coarse_f0(f0: np.ndarray) -> np.ndarray:
+    """Mel-scale quantization to 1..255 ints (vc_infer_pipeline.py:362-368)."""
+    f0_mel_min = 1127 * np.log(1 + F0_MIN / 700)
+    f0_mel_max = 1127 * np.log(1 + F0_MAX / 700)
+    f0_mel = 1127 * np.log(1 + f0 / 700)
+    f0_mel[f0_mel > 0] = (f0_mel[f0_mel > 0] - f0_mel_min) * 254 / (
+        f0_mel_max - f0_mel_min
+    ) + 1
+    f0_mel[f0_mel <= 1] = 1
+    f0_mel[f0_mel > 255] = 255
+    return np.rint(f0_mel).astype(np.int64)
+
+
+def _fit_length(f0: np.ndarray, p_len: int) -> np.ndarray:
+    """Symmetric zero-pad / trim to p_len (the reference's pm pad logic,
+    vc_infer_pipeline.py:290-294)."""
+    if len(f0) == p_len:
+        return f0
+    if len(f0) > p_len:
+        return f0[:p_len]
+    pad = (p_len - len(f0) + 1) // 2
+    return np.pad(f0, (pad, p_len - len(f0) - pad))
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation pitch ("pm": praat-parselmouth to_pitch_ac role,
+# reference vc_infer_pipeline.py:279-294)
+# ---------------------------------------------------------------------------
+
+
+def autocorr_f0(
+    x: np.ndarray,
+    p_len: int,
+    voicing_threshold: float = 0.6,
+    fmin: float = F0_MIN,
+    fmax: float = F0_MAX,
+) -> np.ndarray:
+    """Frame-wise normalized-autocorrelation pitch with parabolic peak
+    interpolation, vectorized over frames via FFT."""
+    win = int(SR * 3.0 / fmin)  # 3 longest periods
+    win = min(win, len(x))
+    hop = WINDOW
+    n_frames = max(1, 1 + (len(x) - win) // hop)
+    idx = np.arange(n_frames)[:, None] * hop + np.arange(win)[None, :]
+    frames = x[np.minimum(idx, len(x) - 1)].astype(np.float64)
+    frames = frames - frames.mean(axis=1, keepdims=True)
+    w = np.hanning(win)
+    fw = frames * w
+
+    nfft = 1 << int(np.ceil(np.log2(2 * win)))
+    spec = np.fft.rfft(fw, nfft, axis=1)
+    acf = np.fft.irfft(spec * np.conj(spec), nfft, axis=1)[:, :win]
+    wacf = np.fft.irfft(np.abs(np.fft.rfft(w, nfft)) ** 2, nfft)[:win]
+    racf = acf / np.maximum(acf[:, :1], 1e-12) / np.maximum(wacf / wacf[0], 1e-6)
+
+    lag_min = int(SR / fmax)
+    lag_max = min(int(SR / fmin), win - 2)
+    band = racf[:, lag_min : lag_max + 1]
+    best = band.argmax(axis=1) + lag_min
+    strength = racf[np.arange(n_frames), best]
+
+    # parabolic interpolation around the peak
+    l0 = np.clip(best, 1, win - 2)
+    y0, y1, y2 = (
+        racf[np.arange(n_frames), l0 - 1],
+        racf[np.arange(n_frames), l0],
+        racf[np.arange(n_frames), l0 + 1],
+    )
+    denom = y0 - 2 * y1 + y2
+    delta = np.where(np.abs(denom) > 1e-12, 0.5 * (y0 - y2) / denom, 0.0)
+    lag = l0 + np.clip(delta, -1, 1)
+    f0 = SR / lag
+    f0[(strength < voicing_threshold) | (f0 < fmin) | (f0 > fmax)] = 0.0
+    return _fit_length(f0.astype(np.float64), p_len)
+
+
+# ---------------------------------------------------------------------------
+# DIO-role estimator + StoneMask-style refinement
+# ---------------------------------------------------------------------------
+
+
+def dio_f0(x: np.ndarray, p_len: int) -> np.ndarray:
+    """pyworld.dio+stonemask role (reference vc_infer_pipeline.py:300-309):
+    ACF candidates refined by instantaneous frequency around each estimate."""
+    f0 = autocorr_f0(x, p_len, voicing_threshold=0.3)
+    return stonemask_refine(x, f0)
+
+
+def stonemask_refine(x: np.ndarray, f0: np.ndarray) -> np.ndarray:
+    """Refine voiced f0 by the dominant instantaneous frequency: phase slope
+    of the fundamental over a 3-period window."""
+    out = f0.copy()
+    voiced = np.where(f0 > 0)[0]
+    if len(voiced) == 0:
+        return out
+    for i in voiced:
+        f = f0[i]
+        center = i * WINDOW
+        half = int(1.5 * SR / f)
+        lo, hi = max(0, center - half), min(len(x), center + half)
+        if hi - lo < int(SR / f) * 2:
+            continue
+        seg = x[lo:hi] * np.hanning(hi - lo)
+        # DFT at 0.8f..1.2f, pick the energy-weighted mean frequency
+        freqs = f * np.linspace(0.8, 1.2, 9)
+        t = np.arange(hi - lo) / SR
+        basis = np.exp(-2j * np.pi * freqs[:, None] * t[None, :])
+        mags = np.abs(basis @ seg)
+        out[i] = float(np.sum(freqs * mags) / np.maximum(np.sum(mags), 1e-12))
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Dispatch
+# ---------------------------------------------------------------------------
+
+
+class F0Estimator:
+    """Stateful dispatcher holding the model params it needs (rmvpe/crepe)."""
+
+    def __init__(
+        self,
+        rmvpe_params: Optional[dict] = None,
+        crepe_params: Optional[dict] = None,
+        crepe_tiny_params: Optional[dict] = None,
+    ):
+        self._rmvpe = None
+        self._rmvpe_params = rmvpe_params
+        self._crepe = {"full": crepe_params, "tiny": crepe_tiny_params}
+
+    def _get_rmvpe(self):
+        if self._rmvpe is None:
+            if self._rmvpe_params is None:
+                raise RuntimeError("rmvpe weights not loaded (rvc_models/rmvpe.pt)")
+            from ..models.rmvpe import RMVPE
+
+            self._rmvpe = RMVPE(self._rmvpe_params)
+        return self._rmvpe
+
+    def _crepe_f0(
+        self, x: np.ndarray, p_len: int, hop: int, capacity: str, mangio: bool
+    ) -> np.ndarray:
+        from ..models import crepe as crepe_mod
+
+        params = self._crepe[capacity]
+        if params is None:
+            raise RuntimeError(f"crepe-{capacity} weights not loaded")
+        if mangio:
+            # reference get_f0_crepe_computation (vc_infer_pipeline.py:96-137)
+            x = x.astype(np.float32)
+            x = x / np.quantile(np.abs(x), 0.999)
+            f0, _pd = crepe_mod.predict(params, x, hop, capacity=capacity, decoder="viterbi")
+            source = f0.astype(np.float64)
+            source[source < 0.001] = np.nan
+            target = np.interp(
+                np.arange(0, len(source) * p_len, len(source)) / p_len,
+                np.arange(0, len(source)),
+                source,
+            )
+            return np.nan_to_num(target)
+        # official crepe (vc_infer_pipeline.py:139-165): hop=WINDOW,
+        # median-filtered periodicity gate + mean-filtered f0
+        from ..ops.filters import medfilt
+
+        f0, pd = crepe_mod.predict(params, x, WINDOW, capacity=capacity, decoder="viterbi")
+        pd = np.asarray(medfilt(jnp.asarray(pd), 3))
+        k = np.ones(3) / 3
+        f0 = np.convolve(np.pad(f0, (1, 1), mode="edge"), k, mode="valid")
+        f0[pd < 0.1] = 0
+        return _fit_length(f0, p_len)
+
+    def compute(
+        self,
+        x: np.ndarray,
+        p_len: int,
+        method: str,
+        filter_radius: int = 3,
+        crepe_hop_length: int = 128,
+    ) -> np.ndarray:
+        """Raw f0 (Hz, 0=unvoiced) of length p_len for one padded signal."""
+        from ..ops.filters import medfilt
+
+        if method == "rmvpe":
+            f0 = np.asarray(self._get_rmvpe().infer(jnp.asarray(x.astype(np.float32)), thred=0.03))
+            return _fit_length(f0.astype(np.float64), p_len)
+        if method == "pm":
+            return autocorr_f0(x, p_len)
+        if method in ("harvest", "dio"):
+            f0 = dio_f0(x, p_len)
+            if method == "dio" or filter_radius > 2:
+                f0 = np.asarray(medfilt(jnp.asarray(f0), 3))
+            return f0
+        if method in ("crepe", "crepe-tiny"):
+            cap = "tiny" if method.endswith("tiny") else "full"
+            return self._crepe_f0(x, p_len, WINDOW, cap, mangio=False)
+        if method in ("mangio-crepe", "mangio-crepe-tiny"):
+            cap = "tiny" if method.endswith("tiny") else "full"
+            return self._crepe_f0(x, p_len, crepe_hop_length, cap, mangio=True)
+        if "hybrid" in method:
+            return self._hybrid(x, p_len, method, filter_radius, crepe_hop_length)
+        raise ValueError(f"unknown f0 method: {method}")
+
+    def _hybrid(self, x, p_len, methods_str, filter_radius, crepe_hop_length):
+        """nan-median over member methods (vc_infer_pipeline.py:175-260)."""
+        inner = methods_str.split("hybrid")[1].replace("[", "").replace("]", "")
+        methods = inner.split("+")
+        stack = []
+        for m in methods:
+            f0 = self.compute(x, p_len, m, filter_radius, crepe_hop_length)
+            # the reference drops the first frame for several methods
+            if m in ("crepe", "crepe-tiny", "harvest", "dio"):
+                f0 = _fit_length(f0[1:], p_len)
+            stack.append(f0)
+        if len(stack) == 1:
+            return stack[0]
+        arr = np.stack([_fit_length(np.asarray(f), p_len) for f in stack])
+        arr = np.where(arr == 0, np.nan, arr)
+        return np.nan_to_num(np.nanmedian(arr, axis=0))
+
+
+def get_f0(
+    estimator: F0Estimator,
+    x: np.ndarray,
+    p_len: int,
+    f0_up_key: int,
+    method: str,
+    filter_radius: int = 3,
+    crepe_hop_length: int = 128,
+    inp_f0: Optional[np.ndarray] = None,
+    x_pad: int = 3,
+):
+    """Full get_f0 contract (vc_infer_pipeline.py:262-370):
+    estimate -> semitone shift -> optional external-f0 splice ->
+    (coarse 1..255, float Hz)."""
+    f0 = estimator.compute(x, p_len, method, filter_radius, crepe_hop_length)
+    f0 = f0 * pow(2, f0_up_key / 12)
+    tf0 = SR // WINDOW
+    if inp_f0 is not None:
+        delta_t = np.round((inp_f0[:, 0].max() - inp_f0[:, 0].min()) * tf0 + 1).astype("int16")
+        replace_f0 = np.interp(list(range(delta_t)), inp_f0[:, 0] * 100, inp_f0[:, 1])
+        shape = f0[x_pad * tf0 : x_pad * tf0 + len(replace_f0)].shape[0]
+        f0[x_pad * tf0 : x_pad * tf0 + len(replace_f0)] = replace_f0[:shape]
+    f0bak = f0.copy()
+    return coarse_f0(f0), f0bak

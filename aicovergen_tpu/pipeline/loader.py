@@ -1,0 +1,115 @@
+"""Model loading & conversion caching: assemble a VoiceConverter from an
+asset directory.
+
+Replaces the reference's load/dispatch trio (src/rvc.py: Config/load_hubert/
+get_vc).  First load converts torch checkpoints to numpy pytrees and caches
+them as .npz next to the source file; subsequent loads are torch-free.
+"""
+
+from __future__ import annotations
+
+import os
+from functools import lru_cache
+from typing import Optional
+
+import numpy as np
+
+from ..io.assets import AssetStore
+from ..retrieval.faiss_io import read_faiss_index
+from ..retrieval.knn import Retriever
+from ..utils.config import RuntimeConfig, default_config
+from .f0 import F0Estimator
+from .vc import VoiceConverter
+
+
+def _npz_cache_path(src: str) -> str:
+    return src + ".aicg.npz"
+
+
+def load_rvc_params(pth_path: str):
+    from ..convert.rvc_convert import load_params_npz, load_rvc_checkpoint, save_params_npz
+
+    cache = _npz_cache_path(pth_path)
+    if os.path.exists(cache) and os.path.getmtime(cache) >= os.path.getmtime(pth_path):
+        return load_params_npz(cache)
+    params, cfg = load_rvc_checkpoint(pth_path)
+    try:
+        save_params_npz(cache, params, cfg)
+    except OSError:
+        pass
+    return params, cfg
+
+
+def _flatten(tree, prefix=""):
+    flat = {}
+    for key, value in tree.items():
+        name = f"{prefix}.{key}" if prefix else key
+        if isinstance(value, dict):
+            flat.update(_flatten(value, name))
+        else:
+            flat[name] = value
+    return flat
+
+
+def _load_tree_cached(src: str, convert_fn):
+    from ..convert.torch_reader import nest
+
+    cache = _npz_cache_path(src)
+    if os.path.exists(cache) and os.path.getmtime(cache) >= os.path.getmtime(src):
+        data = np.load(cache)
+        return nest({k: data[k] for k in data.files})
+    tree = convert_fn(src)
+    try:
+        np.savez(cache, **_flatten(tree))
+    except OSError:
+        pass
+    return tree
+
+
+def load_hubert_params(path: str):
+    from ..convert.hubert_convert import load_hubert_checkpoint
+
+    return _load_tree_cached(path, load_hubert_checkpoint)
+
+
+def load_rmvpe_params(path: str):
+    from ..convert.torch_reader import load_torch_state, state_dict_to_tree
+
+    def convert(p):
+        return state_dict_to_tree(load_torch_state(p))
+
+    return _load_tree_cached(path, convert)
+
+
+def build_voice_converter(
+    store: AssetStore,
+    voice_model: str,
+    runtime: Optional[RuntimeConfig] = None,
+    exact_search: bool = True,
+) -> VoiceConverter:
+    pth_path, index_path = store.rvc_model_paths(voice_model)
+    synth_params, synth_cfg = load_rvc_params(pth_path)
+
+    hubert_path = store.hubert_path()
+    if not os.path.exists(hubert_path):
+        raise FileNotFoundError(
+            f"{hubert_path} missing — run `aicovergen-download` or place hubert_base.pt there"
+        )
+    hubert_params = load_hubert_params(hubert_path)
+
+    rmvpe_params = None
+    if os.path.exists(store.rmvpe_path()):
+        rmvpe_params = load_rmvpe_params(store.rmvpe_path())
+
+    retriever = None
+    if index_path and os.path.exists(index_path):
+        retriever = Retriever(read_faiss_index(index_path), exact=exact_search)
+
+    return VoiceConverter(
+        synth_params=synth_params,
+        synth_cfg=synth_cfg,
+        hubert_params=hubert_params,
+        f0_estimator=F0Estimator(rmvpe_params=rmvpe_params),
+        retriever=retriever,
+        runtime=runtime or default_config(),
+    )

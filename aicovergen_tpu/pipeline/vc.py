@@ -1,0 +1,271 @@
+"""The voice-conversion pipeline: HuBERT -> retrieval blend -> f0 -> synthesizer.
+
+Behavioral port of VC.pipeline / VC.vc (reference src/vc_infer_pipeline.py:
+372-653), redesigned for XLA:
+
+  * the data-dependent minimum-energy split-point search stays on host
+    (it is O(n) numpy), but segments are padded to static *buckets* so every
+    device stage runs under a cached jit — no per-length recompiles;
+  * HuBERT, retrieval blending and the synthesizer run back-to-back on
+    device; the f0 track is computed once for the whole padded signal
+    (rmvpe on device);
+  * bucket zero-padding is masked inside HuBERT/enc_p attention and all
+    conv leakage lands inside the discarded t_pad trim zone, so outputs
+    match the reference's unpadded per-segment computation.
+
+Segment layout contract (vc_infer_pipeline.py:474-653): reflect-pad t_pad
+both sides, split at opt_ts (energy minima snapped to the 160-sample frame
+grid), convert each [s, t + 2*t_pad + window) span, trim t_pad_tgt samples
+from both ends of each converted span, concatenate.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from functools import partial
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.hubert import conv_output_frames, hubert_features
+from ..models.rvc import RVCConfig, synthesizer_infer
+from ..ops.envelope import mix_rms_envelope
+from ..ops.filters import butter_highpass, filtfilt
+from ..ops.resample import resample
+from ..retrieval.knn import Retriever
+from ..utils.config import RuntimeConfig
+from .f0 import WINDOW, F0Estimator, get_f0
+
+SR = 16000
+
+
+def find_split_points(audio: np.ndarray, cfg: RuntimeConfig) -> List[int]:
+    """Minimum-|moving-sum| split points every x_center seconds
+    (reference vc_infer_pipeline.py:516-528)."""
+    t_max = SR * cfg.x_max
+    t_center = SR * cfg.x_center
+    t_query = SR * cfg.x_query
+    if audio.shape[0] + WINDOW <= t_max:
+        return []
+    pad = np.pad(audio, (WINDOW // 2, WINDOW // 2), mode="reflect")
+    csum = np.cumsum(np.concatenate([[0.0], pad]))
+    audio_sum = csum[WINDOW:] - csum[:-WINDOW]  # moving sum, len == len(audio)+1
+    audio_sum = audio_sum[: audio.shape[0]]
+    opt_ts = []
+    for t in range(t_center, audio.shape[0], t_center):
+        window_abs = np.abs(audio_sum[t - t_query : t + t_query])
+        opt_ts.append(t - t_query + int(np.argmin(window_abs)))
+    return opt_ts
+
+
+@partial(jax.jit, static_argnames=("version",))
+def _features_stage(hubert_params, audio_seg, valid_samples, version: str):
+    """(1, L) padded audio -> (1, F, C) HuBERT features (padding-masked)."""
+    return hubert_features(hubert_params, audio_seg, version=version, valid_samples=valid_samples)
+
+
+@partial(jax.jit, static_argnames=("cfg", "use_f0"))
+def _synth_stage(
+    synth_params,
+    feats,
+    feats0,
+    p_len,
+    pitch,
+    pitchf,
+    sid,
+    protect,
+    cfg: RVCConfig,
+    use_f0: bool,
+    rng,
+):
+    """Protect blend + .infer (reference vc_infer_pipeline.py:433-465)."""
+    feats = jnp.repeat(feats, 2, axis=1)  # 2x nearest time upsample (:433)
+    if use_f0:
+        feats0 = jnp.repeat(feats0, 2, axis=1)
+        pitchff = jnp.where(pitchf < 1.0, protect, 1.0)[:, :, None]
+        protected = feats * pitchff + feats0 * (1.0 - pitchff)
+        feats = jnp.where(protect < 0.5, protected, feats)
+    audio = synthesizer_infer(
+        synth_params,
+        cfg,
+        feats,
+        p_len,
+        pitch if use_f0 else None,
+        pitchf if use_f0 else None,
+        sid,
+        rng=rng,
+    )
+    return audio[0, 0]
+
+
+@dataclass
+class VoiceConverter:
+    """One loaded RVC voice: synthesizer + HuBERT + f0 estimator (+ index)."""
+
+    synth_params: dict
+    synth_cfg: RVCConfig
+    hubert_params: dict
+    f0_estimator: F0Estimator
+    retriever: Optional[Retriever] = None
+    runtime: RuntimeConfig = RuntimeConfig()
+
+    def __post_init__(self):
+        self._hp_b, self._hp_a = butter_highpass(5, 48, SR)
+
+    @property
+    def tgt_sr(self) -> int:
+        return self.synth_cfg.sr
+
+    def _bucket_len(self, n: int) -> int:
+        b = self.runtime.bucket_samples
+        return int(math.ceil(n / b) * b)
+
+    def _convert_segment(
+        self,
+        seg: np.ndarray,
+        pitch: Optional[np.ndarray],
+        pitchf: Optional[np.ndarray],
+        sid: int,
+        index_rate: float,
+        protect: float,
+        rng,
+    ) -> np.ndarray:
+        """One padded span -> converted audio (full span, untrimmed)."""
+        n = seg.shape[0]
+        nb = self._bucket_len(n)
+        seg_p = np.zeros(nb, np.float32)
+        seg_p[:n] = seg
+        valid = jnp.asarray([n])
+
+        feats = _features_stage(
+            self.hubert_params, jnp.asarray(seg_p)[None], valid, self.synth_cfg.version
+        )
+        feats0 = feats
+        if self.retriever is not None and index_rate > 0:
+            blended = self.retriever.blend(feats[0], index_rate)[None]
+            feats = blended
+
+        # true usable frames: the reference's p_len = min(samples//window,
+        # 2*hubert_frames) (vc_infer_pipeline.py:439-444) — computed from the
+        # unpadded length, not the bucket
+        p_len_true = min(n // WINDOW, conv_output_frames(n) * 2)
+        p_len_pad = feats.shape[1] * 2
+        use_f0 = self.synth_cfg.if_f0
+        if use_f0:
+            pitch_p = np.zeros(p_len_pad, np.int64)
+            pitchf_p = np.zeros(p_len_pad, np.float32)
+            m = min(p_len_true, len(pitch))
+            pitch_p[:m] = pitch[:m]
+            pitchf_p[:m] = pitchf[:m]
+            pitch_j = jnp.asarray(pitch_p)[None]
+            pitchf_j = jnp.asarray(pitchf_p)[None]
+        else:
+            pitch_j = pitchf_j = None
+
+        audio = _synth_stage(
+            self.synth_params,
+            feats,
+            feats0,
+            jnp.asarray([p_len_true]),
+            pitch_j,
+            pitchf_j,
+            jnp.asarray([sid]),
+            jnp.asarray(protect, jnp.float32),
+            self.synth_cfg,
+            use_f0,
+            rng,
+        )
+        out_true = p_len_true * self.synth_cfg.upp
+        return np.asarray(audio[:out_true], np.float32)
+
+    def convert(
+        self,
+        audio: np.ndarray,
+        f0_up_key: int = 0,
+        f0_method: str = "rmvpe",
+        index_rate: float = 0.5,
+        filter_radius: int = 3,
+        rms_mix_rate: float = 0.25,
+        protect: float = 0.33,
+        crepe_hop_length: int = 128,
+        resample_sr: int = 0,
+        sid: int = 0,
+        inp_f0: Optional[np.ndarray] = None,
+        seed: int = 0,
+    ) -> Tuple[np.ndarray, int]:
+        """16 kHz mono float audio -> (int16 audio, output sr).
+
+        Mirrors VC.pipeline (reference vc_infer_pipeline.py:474-653).
+        """
+        rt = self.runtime
+        t_pad = SR * rt.x_pad
+        t_pad_tgt = self.tgt_sr * rt.x_pad
+        t_pad2 = t_pad * 2
+
+        audio = np.asarray(filtfilt(self._hp_b, self._hp_a, jnp.asarray(audio)), np.float64)
+        opt_ts = find_split_points(audio, rt)
+
+        audio_pad = np.pad(audio, (t_pad, t_pad), mode="reflect")
+        p_len = audio_pad.shape[0] // WINDOW
+
+        pitch = pitchf = None
+        if self.synth_cfg.if_f0:
+            coarse, f0bak = get_f0(
+                self.f0_estimator,
+                audio_pad,
+                p_len,
+                f0_up_key,
+                f0_method,
+                filter_radius,
+                crepe_hop_length,
+                inp_f0,
+                x_pad=rt.x_pad,
+            )
+            pitch = coarse[:p_len]
+            pitchf = f0bak[:p_len].astype(np.float32)
+
+        rng = jax.random.PRNGKey(seed)
+        spans = []
+        s = 0
+        for t in opt_ts:
+            t = t // WINDOW * WINDOW
+            spans.append((s, t + t_pad2 + WINDOW))
+            s = t
+        spans.append((s, audio_pad.shape[0]))
+
+        out_parts = []
+        for i, (a, b) in enumerate(spans):
+            rng, sub = jax.random.split(rng)
+            seg = audio_pad[a:b].astype(np.float32)
+            seg_pitch = pitch[a // WINDOW : b // WINDOW] if pitch is not None else None
+            seg_pitchf = pitchf[a // WINDOW : b // WINDOW] if pitchf is not None else None
+            converted = self._convert_segment(
+                seg, seg_pitch, seg_pitchf, sid, index_rate, protect, sub
+            )
+            out_parts.append(converted[t_pad_tgt:-t_pad_tgt])
+        audio_opt = np.concatenate(out_parts)
+
+        if rms_mix_rate != 1:
+            audio_opt = np.asarray(
+                mix_rms_envelope(
+                    jnp.asarray(audio.astype(np.float32)),
+                    SR,
+                    jnp.asarray(audio_opt),
+                    self.tgt_sr,
+                    rms_mix_rate,
+                )
+            )
+        out_sr = self.tgt_sr
+        if resample_sr >= SR and self.tgt_sr != resample_sr:
+            audio_opt = np.asarray(resample(jnp.asarray(audio_opt), self.tgt_sr, resample_sr))
+            out_sr = resample_sr
+
+        # int16 normalization (vc_infer_pipeline.py:645-649)
+        audio_max = np.abs(audio_opt).max() / 0.99
+        max_int16 = 32768.0
+        if audio_max > 1:
+            max_int16 /= audio_max
+        return (audio_opt * max_int16).astype(np.int16), out_sr

@@ -1,0 +1,116 @@
+"""Effects parity: freeverb vs a per-sample reference loop, compressor
+behavior, phase-vocoder pitch shift frequency contract."""
+
+import numpy as np
+
+import jax.numpy as jnp
+
+from aicovergen_tpu.ops.dynamics import compressor
+from aicovergen_tpu.ops.pitchshift import pitch_shift
+from aicovergen_tpu.ops.reverb import (
+    ALLPASS_TUNINGS,
+    COMB_TUNINGS,
+    STEREO_SPREAD,
+    freeverb,
+)
+
+
+def _freeverb_reference(x_mono, sr, room_size, damping, wet, dry, width):
+    """Per-sample freeverb (JUCE Reverb algorithm) as ground truth."""
+    feedback = room_size * 0.28 + 0.7
+    damp = damping * 0.4
+    gain = 0.015
+    T = len(x_mono)
+
+    def channel(spread):
+        combs = [int(round((c + spread) * sr / 44100)) for c in COMB_TUNINGS]
+        aps = [int(round((a + spread) * sr / 44100)) for a in ALLPASS_TUNINGS]
+        bufs = [np.zeros(d) for d in combs]
+        fss = [0.0] * len(combs)
+        apbufs = [np.zeros(d) for d in aps]
+        out = np.zeros(T)
+        idxs = [0] * len(combs)
+        apidx = [0] * len(aps)
+        xin = x_mono * gain
+        for n in range(T):
+            total = 0.0
+            for ci, D in enumerate(combs):
+                o = bufs[ci][idxs[ci]]
+                fss[ci] = o * (1 - damp) + fss[ci] * damp
+                bufs[ci][idxs[ci]] = xin[n] + fss[ci] * feedback
+                idxs[ci] = (idxs[ci] + 1) % D
+                total += o
+            y = total
+            for ai, D in enumerate(aps):
+                bufout = apbufs[ai][apidx[ai]]
+                apbufs[ai][apidx[ai]] = y + bufout * 0.5
+                apidx[ai] = (apidx[ai] + 1) % D
+                y = -y + bufout
+            out[n] = y
+        return out
+
+    wet3 = wet * 3.0
+    wet1 = wet3 * 0.5 * (1 + width)
+    wet2 = wet3 * 0.5 * (1 - width)
+    l = channel(0)
+    return l * (wet1 + wet2) + x_mono * dry * 2.0
+
+
+def test_freeverb_matches_per_sample_reference():
+    sr = 8000
+    rng = np.random.default_rng(0)
+    x = (rng.standard_normal(sr) * 0.1).astype(np.float32)
+    ours = np.asarray(
+        freeverb(jnp.asarray(x), sr, room_size=0.15, damping=0.7, wet_level=0.2, dry_level=0.8)
+    )
+    ref = _freeverb_reference(x.astype(np.float64), sr, 0.15, 0.7, 0.2, 0.8, 1.0)
+    np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=1e-5)
+
+
+def test_freeverb_stereo_shapes_and_spread():
+    sr = 16000
+    rng = np.random.default_rng(1)
+    x = (rng.standard_normal((2, sr)) * 0.1).astype(np.float32)
+    out = np.asarray(freeverb(jnp.asarray(x), sr))
+    assert out.shape == (2, sr)
+    # stereo spread makes channels differ even for identical input
+    same = np.asarray(freeverb(jnp.asarray(np.stack([x[0], x[0]])), sr))
+    assert np.abs(same[0] - same[1]).max() > 1e-6
+
+
+def test_compressor_attenuates_above_threshold():
+    sr = 16000
+    t = np.arange(sr) / sr
+    loud = (0.9 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    quiet = (0.01 * np.sin(2 * np.pi * 220 * t)).astype(np.float32)
+    out_loud = np.asarray(compressor(jnp.asarray(loud), sr))
+    out_quiet = np.asarray(compressor(jnp.asarray(quiet), sr))
+    # quiet signal passes ~unchanged; loud is compressed toward threshold
+    np.testing.assert_allclose(out_quiet, quiet, atol=1e-5)
+    steady = np.abs(out_loud[sr // 2 :]).max()
+    # static curve: 0.9 -> thr*(0.9/thr)^(1/4) with thr=10^(-15/20)≈0.178
+    expected = 0.178 * (0.9 / 0.178) ** 0.25
+    assert abs(steady - expected) / expected < 0.1
+
+
+def test_compressor_release_tail():
+    """After a burst ends, gain recovers with ~100 ms release."""
+    sr = 16000
+    x = np.zeros(sr, np.float32)
+    x[: sr // 4] = 0.9
+    out = np.asarray(compressor(jnp.asarray(x), sr))
+    assert np.abs(out[: sr // 4]).max() < 0.9  # compressed during burst
+    assert np.abs(out[sr // 2 :]).max() < 1e-6  # silence stays silence
+
+
+def test_pitch_shift_frequency_doubles():
+    sr = 16000
+    t = np.arange(2 * sr) / sr
+    x = np.sin(2 * np.pi * 200 * t).astype(np.float32)
+    y = np.asarray(pitch_shift(jnp.asarray(x), sr, 12.0))
+    assert y.shape == x.shape
+    spec = np.abs(np.fft.rfft(y[sr // 2 : sr // 2 + sr]))
+    peak_hz = np.argmax(spec) * sr / sr
+    assert abs(peak_hz - 400) < 10, peak_hz
+    # zero shift is the identity
+    np.testing.assert_array_equal(np.asarray(pitch_shift(jnp.asarray(x), sr, 0)), x)

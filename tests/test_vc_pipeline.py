@@ -1,0 +1,139 @@
+"""VC pipeline integration tests (random fixture weights, synthetic audio)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from conftest import load_fixture
+from aicovergen_tpu.convert.hubert_convert import transformers_state_to_tree
+from aicovergen_tpu.convert.torch_reader import fold_weight_norm, nest
+from aicovergen_tpu.models.hubert import conv_output_frames, hubert_extract
+from aicovergen_tpu.models.rvc import RVCConfig
+from aicovergen_tpu.pipeline.f0 import F0Estimator, coarse_f0, get_f0
+from aicovergen_tpu.pipeline.vc import SR, VoiceConverter, find_split_points
+from aicovergen_tpu.utils.config import RuntimeConfig
+
+
+def _hubert_params():
+    fx = load_fixture("hubert_base.npz")
+    return transformers_state_to_tree({k[3:]: fx[k] for k in fx.files if k.startswith("sd:")})
+
+
+def _synth():
+    fx = load_fixture("rvc_synth_v2f0.npz")
+    flat = {k[3:]: fx[k] for k in fx.files if k.startswith("sd:")}
+    flat = {
+        k: v
+        for k, v in flat.items()
+        if not k.startswith("enc_q.") and not k.endswith("num_batches_tracked")
+    }
+    return nest(fold_weight_norm(flat)), RVCConfig(version="v2", if_f0=True)
+
+
+def _rmvpe_params():
+    fx = load_fixture("rmvpe_e2e.npz")
+    return nest(
+        {
+            k[3:]: fx[k]
+            for k in fx.files
+            if k.startswith("sd:") and not k.endswith("num_batches_tracked")
+        }
+    )
+
+
+def test_hubert_bucket_padding_invariance():
+    """Zero-padding to a bucket with valid_samples masking must not change
+    the features of valid frames (the property the static-shape pipeline
+    depends on)."""
+    params = _hubert_params()
+    rng = np.random.default_rng(0)
+    audio = rng.standard_normal(16000).astype(np.float32) * 0.1
+    unpadded = np.asarray(hubert_extract(params, jnp.asarray(audio)[None]))
+    padded_audio = np.concatenate([audio, np.zeros(16000, np.float32)])
+    nvalid = conv_output_frames(16000)
+    padded = np.asarray(
+        hubert_extract(
+            params, jnp.asarray(padded_audio)[None], valid_samples=jnp.asarray([16000])
+        )
+    )
+    # masked GN stats + masked attention + zeroed tails make the bucket run
+    # exact on every valid frame (the pos-conv zero padding coincides with
+    # the bucket zeros)
+    np.testing.assert_allclose(padded[:, :nvalid], unpadded, rtol=1e-4, atol=1e-4)
+
+
+def test_find_split_points_matches_reference_loop():
+    """find_split_points vs a direct transcription of the reference search
+    (vc_infer_pipeline.py:516-528)."""
+    rng = np.random.default_rng(1)
+    cfg = RuntimeConfig(x_pad=1, x_query=2, x_center=5, x_max=8)
+    audio = rng.standard_normal(SR * 13)
+
+    ours = find_split_points(audio, cfg)
+
+    window = 160
+    audio_pad = np.pad(audio, (window // 2, window // 2), mode="reflect")
+    audio_sum = np.zeros_like(audio)
+    for i in range(window):
+        audio_sum += audio_pad[i : i - window]
+    t_query, t_center = SR * cfg.x_query, SR * cfg.x_center
+    ref = []
+    for t in range(t_center, audio.shape[0], t_center):
+        win = np.abs(audio_sum[t - t_query : t + t_query])
+        ref.append(t - t_query + np.where(win == win.min())[0][0])
+    assert ours == ref
+
+
+def test_coarse_f0_quantizer():
+    """Exact reproduction of the 1..255 mel quantizer
+    (vc_infer_pipeline.py:362-368)."""
+    f0 = np.array([0.0, 50.0, 100.0, 440.0, 1100.0, 2000.0])
+    coarse = coarse_f0(f0.copy())
+    f0_mel_min = 1127 * np.log(1 + 50 / 700)
+    f0_mel_max = 1127 * np.log(1 + 1100 / 700)
+    f0_mel = 1127 * np.log(1 + f0 / 700)
+    f0_mel[f0_mel > 0] = (f0_mel[f0_mel > 0] - f0_mel_min) * 254 / (f0_mel_max - f0_mel_min) + 1
+    f0_mel[f0_mel <= 1] = 1
+    f0_mel[f0_mel > 255] = 255
+    np.testing.assert_array_equal(coarse, np.rint(f0_mel).astype(np.int64))
+    assert coarse[0] == 1 and coarse[-1] == 255
+
+
+def test_voice_converter_end_to_end():
+    synth_params, cfg = _synth()
+    vc = VoiceConverter(
+        synth_params=synth_params,
+        synth_cfg=cfg,
+        hubert_params=_hubert_params(),
+        f0_estimator=F0Estimator(rmvpe_params=_rmvpe_params()),
+        runtime=RuntimeConfig(x_pad=1, x_query=2, x_center=5, x_max=8, bucket_samples=8000),
+    )
+    rng = np.random.default_rng(2)
+    t = np.arange(SR * 2) / SR
+    audio = (0.3 * np.sin(2 * np.pi * 220 * t) + 0.01 * rng.standard_normal(SR * 2)).astype(
+        np.float64
+    )
+    out, out_sr = vc.convert(audio, f0_up_key=0, f0_method="rmvpe", index_rate=0.0)
+    assert out.dtype == np.int16
+    assert out_sr == 40000
+    # length contract: p_len*upp - 2*t_pad_tgt for a single span
+    assert abs(len(out) - 2 * 40000) < 40000 * 0.05
+    assert np.abs(out).max() > 0
+
+
+def test_voice_converter_with_splits_and_pm():
+    """Long-enough audio to trigger split points; pm f0 method."""
+    synth_params, cfg = _synth()
+    vc = VoiceConverter(
+        synth_params=synth_params,
+        synth_cfg=cfg,
+        hubert_params=_hubert_params(),
+        f0_estimator=F0Estimator(),
+        runtime=RuntimeConfig(x_pad=1, x_query=1, x_center=3, x_max=5, bucket_samples=8000),
+    )
+    t = np.arange(SR * 7) / SR
+    audio = (0.3 * np.sin(2 * np.pi * 330 * t)).astype(np.float64)
+    out, out_sr = vc.convert(audio, f0_method="pm", rms_mix_rate=0.25)
+    assert out.dtype == np.int16 and out_sr == 40000
+    assert abs(len(out) - 7 * 40000) < 40000 * 0.05
