@@ -60,6 +60,9 @@ def build_parser() -> argparse.ArgumentParser:
 
 
 def main(argv=None) -> int:
+    from ..utils.platform import apply_platform_env
+
+    apply_platform_env()
     args = build_parser().parse_args(argv)
     store = AssetStore(args.base_dir or default_base_dir())
 

@@ -90,13 +90,23 @@ class AssetStore:
 
 def mdx_params_for(model_path: str):
     """Registry lookup by tail-md5 (reference src/mdx.py:245-254) ->
-    pipeline.separate.MDXParams."""
+    pipeline.separate.MDXParams.  Unknown checkpoints can supply a sidecar
+    ``<model>.json`` with the same fields (custom-model escape hatch the
+    reference lacks)."""
     from ..pipeline.separate import MDXParams
 
     h = file_hash_md5_tail(model_path)
     entry = MDX_REGISTRY.get(h)
     if entry is None:
-        raise KeyError(f"unknown MDX model hash {h} for {model_path}")
+        sidecar = os.path.splitext(model_path)[0] + ".json"
+        if os.path.exists(sidecar):
+            with open(sidecar) as f:
+                entry = json.load(f)
+        else:
+            raise KeyError(
+                f"unknown MDX model hash {h} for {model_path} "
+                f"(provide hyperparameters in {sidecar})"
+            )
     if "config_yaml" in entry:
         raise ValueError(
             f"{model_path} is an MDX23C-style checkpoint ({entry['config_yaml']}); "

@@ -1,0 +1,379 @@
+"""ONNX graph -> JAX executor (the MDX-Net frontend).
+
+The MDX separation architecture exists only inside UVR .onnx checkpoints —
+the reference runs them as a black box through ONNX Runtime
+(reference src/mdx.py:74-77).  Rather than hard-coding one architecture,
+this module *traces* the ONNX graph with jnp ops: the whole net becomes a
+single XLA program that fuses with the surrounding STFT/iSTFT
+(pipeline/separate.py), runs on the MXU, and shards like any other JAX
+computation.
+
+Shape-carrying subgraphs (Shape -> Gather -> Concat -> Reshape chains) are
+evaluated with concrete numpy at trace time, so dynamic-shape ops never
+reach the device.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, List
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..convert.onnx_proto import OnnxGraph, OnnxNode, read_onnx
+
+
+def _is_np(*vals) -> bool:
+    return all(isinstance(v, (np.ndarray, np.generic, int, float)) for v in vals)
+
+
+def _pads_to_jax(pads: List[int], ndims_spatial: int):
+    # onnx pads: [x1_begin, x2_begin, ..., x1_end, x2_end, ...]
+    return [(pads[i], pads[i + ndims_spatial]) for i in range(ndims_spatial)]
+
+
+def _conv(node: OnnxNode, x, w, b=None):
+    spatial = w.ndim - 2
+    strides = tuple(node.attr("strides", [1] * spatial))
+    dilations = tuple(node.attr("dilations", [1] * spatial))
+    group = node.attr("group", 1)
+    pads = node.attr("pads", [0] * (2 * spatial))
+    auto_pad = node.attr("auto_pad", b"NOTSET")
+    if isinstance(auto_pad, bytes):
+        auto_pad = auto_pad.decode()
+    if auto_pad in ("SAME_UPPER", "SAME_LOWER"):
+        padding = "SAME"
+    else:
+        padding = _pads_to_jax(list(pads), spatial)
+    dn_in = "NC" + "HWD"[:spatial]
+    dn = (dn_in, "OI" + "HWD"[:spatial], dn_in)
+    y = jax.lax.conv_general_dilated(
+        x,
+        w,
+        window_strides=strides,
+        padding=padding,
+        rhs_dilation=dilations,
+        dimension_numbers=dn,
+        feature_group_count=group,
+    )
+    if b is not None:
+        y = y + b.reshape((1, -1) + (1,) * spatial)
+    return y
+
+
+def _conv_transpose(node: OnnxNode, x, w, b=None):
+    spatial = w.ndim - 2
+    strides = tuple(node.attr("strides", [1] * spatial))
+    pads = list(node.attr("pads", [0] * (2 * spatial)))
+    out_pads = list(node.attr("output_padding", [0] * spatial))
+    group = node.attr("group", 1)
+    if group != 1:
+        raise NotImplementedError("grouped ConvTranspose")
+    k = w.shape[2:]
+    w = jnp.flip(w, axis=tuple(range(2, w.ndim))).swapaxes(0, 1)
+    padding = [
+        (k[i] - 1 - pads[i], k[i] - 1 - pads[i + spatial] + out_pads[i])
+        for i in range(spatial)
+    ]
+    dn_in = "NC" + "HWD"[:spatial]
+    dn = (dn_in, "OI" + "HWD"[:spatial], dn_in)
+    y = jax.lax.conv_general_dilated(
+        x, w, window_strides=(1,) * spatial, padding=padding,
+        lhs_dilation=strides, dimension_numbers=dn,
+    )
+    if b is not None:
+        y = y + b.reshape((1, -1) + (1,) * spatial)
+    return y
+
+
+def _pool(node: OnnxNode, x, mode: str):
+    kernel = tuple(node.attr("kernel_shape"))
+    spatial = len(kernel)
+    strides = tuple(node.attr("strides", kernel))
+    pads = node.attr("pads", [0] * (2 * spatial))
+    window = (1, 1) + kernel
+    strides_full = (1, 1) + strides
+    padding = [(0, 0), (0, 0)] + _pads_to_jax(list(pads), spatial)
+    if mode == "max":
+        return jax.lax.reduce_window(x, -jnp.inf, jax.lax.max, window, strides_full, padding)
+    summed = jax.lax.reduce_window(x, 0.0, jax.lax.add, window, strides_full, padding)
+    if node.attr("count_include_pad", 0) or not any(p for p in pads):
+        return summed / np.prod(kernel)
+    ones = jnp.ones_like(x)
+    counts = jax.lax.reduce_window(ones, 0.0, jax.lax.add, window, strides_full, padding)
+    return summed / counts
+
+
+def _resize(node: OnnxNode, inputs):
+    x = inputs[0]
+    mode = node.attr("mode", b"nearest")
+    if isinstance(mode, bytes):
+        mode = mode.decode()
+    scales = None
+    sizes = None
+    if len(inputs) >= 3 and inputs[2] is not None and np.size(inputs[2]):
+        scales = np.asarray(inputs[2])
+    if len(inputs) >= 4 and inputs[3] is not None and np.size(inputs[3]):
+        sizes = np.asarray(inputs[3]).astype(int)
+    if sizes is None:
+        sizes = [int(round(s * d)) for s, d in zip(scales, x.shape)]
+    method = {"nearest": "nearest", "linear": "linear", "cubic": "cubic"}[mode]
+    return jax.image.resize(x, tuple(sizes), method=method)
+
+
+def _slice(node: OnnxNode, inputs):
+    x = inputs[0]
+    if len(inputs) > 1:  # opset >= 10: tensors
+        starts = np.asarray(inputs[1]).tolist()
+        ends = np.asarray(inputs[2]).tolist()
+        axes = (
+            np.asarray(inputs[3]).tolist() if len(inputs) > 3 and inputs[3] is not None
+            else list(range(len(starts)))
+        )
+        steps = (
+            np.asarray(inputs[4]).tolist() if len(inputs) > 4 and inputs[4] is not None
+            else [1] * len(starts)
+        )
+    else:
+        starts = list(node.attr("starts"))
+        ends = list(node.attr("ends"))
+        axes = list(node.attr("axes", list(range(len(starts)))))
+        steps = [1] * len(starts)
+    slices = [slice(None)] * x.ndim
+    for st, en, ax, sp in zip(starts, ends, axes, steps):
+        dim = x.shape[ax]
+        en = min(en, dim) if en >= 0 else en
+        slices[ax] = slice(int(st), int(en), int(sp))
+    return x[tuple(slices)]
+
+
+_INT_MAX = 2**62
+
+
+class OnnxExecutor:
+    """Callable: feed dict or single array -> output array(s)."""
+
+    def __init__(self, graph: OnnxGraph):
+        self.graph = graph
+        self.initializers = {k: v for k, v in graph.initializers.items()}
+
+    def __call__(self, *args):
+        graph = self.graph
+        env: Dict[str, object] = dict(self.initializers)
+        if len(args) == 1 and not isinstance(args[0], dict):
+            env[graph.inputs[0]] = args[0]
+        else:
+            feed = args[0] if isinstance(args[0], dict) else {}
+            env.update(feed)
+        for node in graph.nodes:
+            ins = [env.get(n) if n else None for n in node.inputs]
+            outs = self._run_node(node, ins)
+            for name, val in zip(node.outputs, outs):
+                env[name] = val
+        results = [env[o] for o in graph.outputs]
+        return results[0] if len(results) == 1 else tuple(results)
+
+    # ------------------------------------------------------------------ ops
+    def _run_node(self, node: OnnxNode, ins):
+        op = node.op_type
+        x = ins[0] if ins else None
+        if op == "Conv":
+            return [_conv(node, x, ins[1], ins[2] if len(ins) > 2 else None)]
+        if op == "ConvTranspose":
+            return [_conv_transpose(node, x, ins[1], ins[2] if len(ins) > 2 else None)]
+        if op == "BatchNormalization":
+            scale, bias, mean, var = ins[1], ins[2], ins[3], ins[4]
+            eps = node.attr("epsilon", 1e-5)
+            shape = (1, -1) + (1,) * (x.ndim - 2)
+            return [
+                (x - mean.reshape(shape))
+                * (scale.reshape(shape) / jnp.sqrt(var.reshape(shape) + eps))
+                + bias.reshape(shape)
+            ]
+        if op == "InstanceNormalization":
+            eps = node.attr("epsilon", 1e-5)
+            axes = tuple(range(2, x.ndim))
+            mean = jnp.mean(x, axis=axes, keepdims=True)
+            var = jnp.var(x, axis=axes, keepdims=True)
+            shape = (1, -1) + (1,) * (x.ndim - 2)
+            return [
+                (x - mean) * jax.lax.rsqrt(var + eps) * ins[1].reshape(shape)
+                + ins[2].reshape(shape)
+            ]
+        if op == "Relu":
+            return [jnp.maximum(x, 0)]
+        if op == "LeakyRelu":
+            alpha = node.attr("alpha", 0.01)
+            return [jnp.where(x >= 0, x, x * alpha)]
+        if op == "PRelu":
+            slope = ins[1]
+            if slope.ndim < x.ndim and slope.ndim >= 1:
+                slope = slope.reshape((1, -1) + (1,) * (x.ndim - 2))
+            return [jnp.where(x >= 0, x, x * slope)]
+        if op == "Elu":
+            alpha = node.attr("alpha", 1.0)
+            return [jnp.where(x >= 0, x, alpha * (jnp.exp(x) - 1))]
+        if op == "Sigmoid":
+            return [jax.nn.sigmoid(x)]
+        if op == "Tanh":
+            return [jnp.tanh(x)]
+        if op == "Softmax":
+            return [jax.nn.softmax(x, axis=node.attr("axis", -1))]
+        if op == "Clip":
+            lo = ins[1] if len(ins) > 1 and ins[1] is not None else node.attr("min", -np.inf)
+            hi = ins[2] if len(ins) > 2 and ins[2] is not None else node.attr("max", np.inf)
+            return [jnp.clip(x, lo, hi)]
+        if op in ("Add", "Sub", "Mul", "Div", "Pow"):
+            a, b = ins[0], ins[1]
+            fn = {
+                "Add": lambda u, v: u + v,
+                "Sub": lambda u, v: u - v,
+                "Mul": lambda u, v: u * v,
+                "Div": lambda u, v: u / v,
+                "Pow": lambda u, v: u**v,
+            }[op]
+            if _is_np(a, b):
+                return [np.asarray(fn(np.asarray(a), np.asarray(b)))]
+            return [fn(a, b)]
+        if op in ("Exp", "Log", "Sqrt", "Neg", "Abs", "Reciprocal", "Erf"):
+            fn = {
+                "Exp": jnp.exp, "Log": jnp.log, "Sqrt": jnp.sqrt, "Neg": jnp.negative,
+                "Abs": jnp.abs, "Reciprocal": lambda v: 1.0 / v,
+                "Erf": jax.scipy.special.erf,
+            }[op]
+            return [fn(x)]
+        if op == "MatMul":
+            return [jnp.matmul(ins[0], ins[1])]
+        if op == "Gemm":
+            a, b = ins[0], ins[1]
+            if node.attr("transA", 0):
+                a = a.T
+            if node.attr("transB", 0):
+                b = b.T
+            y = node.attr("alpha", 1.0) * jnp.matmul(a, b)
+            if len(ins) > 2 and ins[2] is not None:
+                y = y + node.attr("beta", 1.0) * ins[2]
+            return [y]
+        if op == "Concat":
+            axis = node.attr("axis")
+            vals = [v for v in ins if v is not None]
+            if _is_np(*vals):
+                return [np.concatenate([np.atleast_1d(np.asarray(v)) for v in vals], axis=axis)]
+            return [jnp.concatenate(vals, axis=axis)]
+        if op == "Split":
+            axis = node.attr("axis", 0)
+            if len(ins) > 1 and ins[1] is not None:
+                sizes = np.asarray(ins[1]).tolist()
+            else:
+                sizes = node.attr("split")
+                if sizes is None:
+                    n = len(node.outputs)
+                    sizes = [x.shape[axis] // n] * n
+            idx = np.cumsum(sizes)[:-1].tolist()
+            return list(jnp.split(x, idx, axis=axis))
+        if op == "Transpose":
+            perm = node.attr("perm")
+            return [jnp.transpose(x, perm)]
+        if op == "Reshape":
+            target = [int(v) for v in np.asarray(ins[1]).tolist()]
+            # onnx: 0 copies the input dim (unless allowzero)
+            if not node.attr("allowzero", 0):
+                target = [x.shape[i] if t == 0 else t for i, t in enumerate(target)]
+            return [jnp.reshape(x, target) if not _is_np(x) else np.reshape(x, target)]
+        if op == "Squeeze":
+            axes = (
+                np.asarray(ins[1]).tolist()
+                if len(ins) > 1 and ins[1] is not None
+                else node.attr("axes")
+            )
+            if axes is None:
+                return [jnp.squeeze(x)]
+            return [jnp.squeeze(x, axis=tuple(int(a) for a in axes))]
+        if op == "Unsqueeze":
+            axes = (
+                np.asarray(ins[1]).tolist()
+                if len(ins) > 1 and ins[1] is not None
+                else node.attr("axes")
+            )
+            y = x
+            for a in sorted(int(v) for v in axes):
+                y = jnp.expand_dims(y, a) if not _is_np(y) else np.expand_dims(y, a)
+            return [y]
+        if op == "Pad":
+            mode = node.attr("mode", b"constant")
+            if isinstance(mode, bytes):
+                mode = mode.decode()
+            pads = (
+                np.asarray(ins[1]).tolist() if len(ins) > 1 and ins[1] is not None
+                else node.attr("pads")
+            )
+            value = 0.0
+            if len(ins) > 2 and ins[2] is not None:
+                value = float(np.asarray(ins[2]))
+            half = len(pads) // 2
+            widths = [(pads[i], pads[i + half]) for i in range(half)]
+            jmode = {"constant": "constant", "reflect": "reflect", "edge": "edge"}[mode]
+            if jmode == "constant":
+                return [jnp.pad(x, widths, mode=jmode, constant_values=value)]
+            return [jnp.pad(x, widths, mode=jmode)]
+        if op == "Gather":
+            axis = node.attr("axis", 0)
+            indices = ins[1]
+            if _is_np(x, indices):
+                return [np.take(np.asarray(x), np.asarray(indices).astype(int), axis=axis)]
+            return [jnp.take(x, jnp.asarray(indices), axis=axis)]
+        if op == "Shape":
+            shape = np.asarray(np.shape(x), np.int64)
+            return [shape]
+        if op == "Cast":
+            to = node.attr("to")
+            from ..convert.onnx_proto import _DTYPE_MAP
+
+            dtype = _DTYPE_MAP[to]
+            if _is_np(x):
+                return [np.asarray(x).astype(dtype)]
+            return [x.astype(dtype)]
+        if op == "Constant":
+            val = node.attr("value")
+            return [np.asarray(val)]
+        if op == "ConstantOfShape":
+            val = node.attr("value")
+            fill = float(np.asarray(val).reshape(-1)[0]) if val is not None else 0.0
+            shape = tuple(int(v) for v in np.asarray(x).tolist())
+            return [np.full(shape, fill, np.float32 if val is None else np.asarray(val).dtype)]
+        if op == "Identity":
+            return [x]
+        if op == "Flatten":
+            axis = node.attr("axis", 1)
+            lead = int(np.prod(x.shape[:axis])) if axis > 0 else 1
+            return [jnp.reshape(x, (lead, -1))]
+        if op in ("AveragePool", "MaxPool"):
+            return [_pool(node, x, "avg" if op == "AveragePool" else "max")]
+        if op == "GlobalAveragePool":
+            return [jnp.mean(x, axis=tuple(range(2, x.ndim)), keepdims=True)]
+        if op in ("Resize", "Upsample"):
+            if op == "Upsample" and len(ins) > 1:
+                ins = [ins[0], None, ins[1]]
+            return [_resize(node, ins)]
+        if op == "Slice":
+            return [_slice(node, ins)]
+        if op == "ReduceMean":
+            axes = node.attr("axes")
+            keep = bool(node.attr("keepdims", 1))
+            return [jnp.mean(x, axis=tuple(axes) if axes else None, keepdims=keep)]
+        if op == "ReduceSum":
+            axes = (
+                np.asarray(ins[1]).tolist() if len(ins) > 1 and ins[1] is not None
+                else node.attr("axes")
+            )
+            keep = bool(node.attr("keepdims", 1))
+            return [jnp.sum(x, axis=tuple(axes) if axes else None, keepdims=keep)]
+        raise NotImplementedError(f"ONNX op not implemented: {op} (node {node.name})")
+
+
+def load_mdx_model(path: str) -> Callable:
+    """Parse an MDX .onnx checkpoint into a traceable callable
+    (B, 4, dim_f, dim_t) -> (B, 4, dim_f, dim_t)."""
+    graph = read_onnx(path)
+    return OnnxExecutor(graph)

@@ -92,9 +92,9 @@ def pitch_shift(audio: jnp.ndarray, sr: int, semitones: float, n_fft: int = 2048
         flat = audio.reshape(-1, audio.shape[-1])
         stretched = jax.vmap(lambda ch: _pv_stretch(ch, n_fft, hop_a, hop_s))(flat)
         stretched = stretched.reshape(audio.shape[:-1] + (stretched.shape[-1],))
-    # resample stretched/actual ratio back to original duration & rate
-    actual = hop_s / hop_a
-    out = resample(stretched, int(round(sr * actual * 1000)), sr * 1000)
+    # resample back to the original duration: the true stretch ratio is
+    # exactly hop_s/hop_a, so the resampling fraction is hop_a/hop_s
+    out = resample(stretched, hop_s, hop_a)
     target = audio.shape[-1]
     if out.shape[-1] >= target:
         return out[..., :target]

@@ -45,5 +45,14 @@ class RuntimeConfig:
 
 
 def default_config() -> RuntimeConfig:
-    use_bf16 = os.environ.get("AICG_TPU_BF16", "1") != "0"
-    return RuntimeConfig(use_bf16=use_bf16)
+    """Defaults tuned for TPU HBM; every knob is overridable via env for
+    constrained hosts (AICG_X_PAD/X_QUERY/X_CENTER/X_MAX/BUCKET)."""
+    env = os.environ.get
+    return RuntimeConfig(
+        x_pad=int(env("AICG_X_PAD", 3)),
+        x_query=int(env("AICG_X_QUERY", 10)),
+        x_center=int(env("AICG_X_CENTER", 60)),
+        x_max=int(env("AICG_X_MAX", 65)),
+        use_bf16=env("AICG_TPU_BF16", "1") != "0",
+        bucket_samples=int(env("AICG_BUCKET", 16000)),
+    )

@@ -1,0 +1,136 @@
+"""ONNX frontend tests: wire-format writer/reader round-trip and the JAX
+graph executor vs torch op semantics (conv-TDF-style graph)."""
+
+import numpy as np
+import torch
+import torch.nn.functional as F
+
+import jax.numpy as jnp
+
+from aicovergen_tpu.convert.onnx_proto import read_onnx, write_onnx
+from aicovergen_tpu.models.mdx import OnnxExecutor
+
+
+def _build_tdf_like_graph(path, seed=0):
+    """A conv-TDF-flavored graph: Conv+BN+ReLU, a freq-dim linear (TDF),
+    ConvTranspose upsample, Slice, residual Add, Sigmoid mask Mul."""
+    rng = np.random.default_rng(seed)
+    c_in, c_mid, f_dim, t_dim = 4, 8, 32, 16
+
+    w1 = rng.standard_normal((c_mid, c_in, 3, 3)).astype(np.float32) * 0.2
+    b1 = rng.standard_normal(c_mid).astype(np.float32) * 0.1
+    bn_scale = rng.uniform(0.5, 1.5, c_mid).astype(np.float32)
+    bn_bias = rng.standard_normal(c_mid).astype(np.float32) * 0.1
+    bn_mean = rng.standard_normal(c_mid).astype(np.float32) * 0.1
+    bn_var = rng.uniform(0.5, 1.5, c_mid).astype(np.float32)
+    # TDF: linear along the freq axis (operates on (..., f_dim))
+    tdf_w = rng.standard_normal((f_dim, f_dim)).astype(np.float32) * 0.1
+    w2 = rng.standard_normal((c_mid, c_mid, 2, 2)).astype(np.float32) * 0.2
+    w3 = rng.standard_normal((c_in, c_mid, 1, 1)).astype(np.float32) * 0.2
+    b3 = rng.standard_normal(c_in).astype(np.float32) * 0.1
+
+    nodes = [
+        ("Conv", ["input", "w1", "b1"], ["conv1"],
+         {"kernel_shape": [3, 3], "pads": [1, 1, 1, 1], "strides": [1, 1]}),
+        ("BatchNormalization", ["conv1", "bn_s", "bn_b", "bn_m", "bn_v"], ["bn1"],
+         {"epsilon": 1e-5}),
+        ("Relu", ["bn1"], ["relu1"], {}),
+        # TDF: transpose freq to last, matmul, transpose back
+        ("Transpose", ["relu1"], ["tr1"], {"perm": [0, 1, 3, 2]}),
+        ("MatMul", ["tr1", "tdf_w"], ["tdf"], {}),
+        ("Relu", ["tdf"], ["tdf_r"], {}),
+        ("Transpose", ["tdf_r"], ["tr2"], {"perm": [0, 1, 3, 2]}),
+        ("Add", ["relu1", "tr2"], ["mid"], {}),
+        ("AveragePool", ["mid"], ["pooled"], {"kernel_shape": [2, 2], "strides": [2, 2]}),
+        ("ConvTranspose", ["pooled", "w2"], ["up"],
+         {"kernel_shape": [2, 2], "strides": [2, 2]}),
+        ("Slice", ["up", "sl_starts", "sl_ends", "sl_axes"], ["upc"], {}),
+        ("Conv", ["upc", "w3", "b3"], ["mask_pre"],
+         {"kernel_shape": [1, 1]}),
+        ("Sigmoid", ["mask_pre"], ["mask"], {}),
+        ("Mul", ["mask", "input"], ["output"], {}),
+    ]
+    inits = {
+        "w1": w1, "b1": b1, "bn_s": bn_scale, "bn_b": bn_bias, "bn_m": bn_mean,
+        "bn_v": bn_var, "tdf_w": tdf_w, "w2": w2, "w3": w3, "b3": b3,
+        "sl_starts": np.array([0, 0], np.int64),
+        "sl_ends": np.array([f_dim, t_dim], np.int64),
+        "sl_axes": np.array([2, 3], np.int64),
+    }
+    write_onnx(path, nodes, inits, {"input": [None, c_in, f_dim, t_dim]}, ["output"])
+
+    def torch_forward(x):
+        x = torch.from_numpy(x)
+        h = F.conv2d(x, torch.from_numpy(w1), torch.from_numpy(b1), padding=1)
+        h = F.batch_norm(
+            h, torch.from_numpy(bn_mean), torch.from_numpy(bn_var),
+            torch.from_numpy(bn_scale), torch.from_numpy(bn_bias), eps=1e-5,
+        )
+        h = torch.relu(h)
+        tdf = torch.relu(h.transpose(2, 3) @ torch.from_numpy(tdf_w)).transpose(2, 3)
+        mid = h + tdf
+        pooled = F.avg_pool2d(mid, 2)
+        up = F.conv_transpose2d(pooled, torch.from_numpy(w2), stride=2)
+        up = up[:, :, :f_dim, :t_dim]
+        mask = torch.sigmoid(F.conv2d(up, torch.from_numpy(w3), torch.from_numpy(b3)))
+        return (mask * x).numpy()
+
+    return torch_forward
+
+
+def test_roundtrip_and_execute(tmp_path):
+    path = str(tmp_path / "tdf.onnx")
+    torch_forward = _build_tdf_like_graph(path)
+    graph = read_onnx(path)
+    assert graph.inputs == ["input"]
+    assert graph.outputs == ["output"]
+    assert len(graph.nodes) == 14
+    assert graph.input_shapes["input"][1:] == [4, 32, 16]
+
+    executor = OnnxExecutor(graph)
+    rng = np.random.default_rng(1)
+    x = rng.standard_normal((2, 4, 32, 16)).astype(np.float32)
+    ours = np.asarray(executor(jnp.asarray(x)))
+    ref = torch_forward(x)
+    np.testing.assert_allclose(ours, ref, rtol=1e-4, atol=1e-5)
+
+
+def test_executor_under_jit(tmp_path):
+    """The executor must trace cleanly inside jax.jit (the separation hot
+    path fuses STFT -> net -> iSTFT into one program)."""
+    import jax
+
+    path = str(tmp_path / "tdf2.onnx")
+    torch_forward = _build_tdf_like_graph(path, seed=3)
+    executor = OnnxExecutor(read_onnx(path))
+
+    jitted = jax.jit(lambda v: executor(v))
+    rng = np.random.default_rng(2)
+    x = rng.standard_normal((1, 4, 32, 16)).astype(np.float32)
+    ours = np.asarray(jitted(jnp.asarray(x)))
+    np.testing.assert_allclose(ours, torch_forward(x), rtol=1e-4, atol=1e-5)
+
+
+def test_shape_subgraph_is_traced_concretely(tmp_path):
+    """Shape -> Gather -> Concat -> Reshape chains must resolve at trace
+    time (numpy), not become device ops."""
+    path = str(tmp_path / "shapes.onnx")
+    nodes = [
+        ("Shape", ["input"], ["shp"], {}),
+        ("Gather", ["shp", "idx0"], ["b"], {"axis": 0}),
+        ("Concat", ["b", "minus1"], ["target"], {"axis": 0}),
+        ("Reshape", ["input", "target"], ["flat"], {}),
+        ("Relu", ["flat"], ["output"], {}),
+    ]
+    inits = {
+        "idx0": np.array(0, np.int64),
+        "minus1": np.array([-1], np.int64),
+    }
+    write_onnx(path, nodes, inits, {"input": [None, 3, 5]}, ["output"])
+    executor = OnnxExecutor(read_onnx(path))
+    import jax
+
+    x = np.arange(30, dtype=np.float32).reshape(2, 3, 5)
+    out = np.asarray(jax.jit(lambda v: executor(v))(jnp.asarray(x)))
+    assert out.shape == (2, 15)
+    np.testing.assert_allclose(out, np.maximum(x.reshape(2, 15), 0))
