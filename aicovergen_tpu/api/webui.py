@@ -1,0 +1,368 @@
+"""Web UI: a dependency-free HTTP server replacing the reference's Gradio app
+(reference src/webui.py): generate covers with full parameter control and
+live progress, browse/download public voice models, upload local models.
+
+Endpoints:
+  GET  /                      single-page app
+  GET  /api/models            installed voice models
+  GET  /api/public_models     public catalog (rvc_models/public_models.json)
+  POST /api/generate          start a cover job -> {job_id}
+  GET  /api/job/<id>          job progress/status/result
+  GET  /api/audio?path=...    stream a generated file (song_output only)
+  POST /api/download_model    {url, name} -> fetch + extract a voice model
+  POST /api/upload_model      multipart zip / .pth(+.index) upload
+
+Jobs run on a single worker thread (the Gradio queue semantics,
+reference webui.py:317-322).
+"""
+
+from __future__ import annotations
+
+import io
+import json
+import os
+import queue
+import re
+import shutil
+import threading
+import traceback
+import urllib.parse
+import urllib.request
+import uuid
+import zipfile
+from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
+from typing import Dict, Optional
+
+from ..io.assets import AssetStore, default_base_dir, load_public_models_index
+from ..utils.config import default_config
+
+_JOBS: Dict[str, dict] = {}
+_JOB_QUEUE: "queue.Queue[tuple]" = queue.Queue()
+
+
+def _worker(store: AssetStore):
+    from ..pipeline.cover import CoverPipeline
+
+    pipeline = CoverPipeline(store, runtime=default_config())
+    while True:
+        job_id, params = _JOB_QUEUE.get()
+        job = _JOBS[job_id]
+
+        def progress(percent, message, job=job):
+            job["progress"] = percent
+            job["message"] = message
+
+        try:
+            job["status"] = "running"
+            path = pipeline.song_cover(progress=progress, **params)
+            job["status"] = "done"
+            job["result"] = path
+            job["progress"] = 1.0
+        except Exception as e:  # surface like gr.Error (reference main.py:81-85)
+            job["status"] = "error"
+            job["message"] = str(e)
+            traceback.print_exc()
+
+
+def extract_model_zip(zip_bytes: bytes, extraction_folder: str) -> None:
+    """Zip extraction with the reference's file heuristics: .pth > 40 MB is
+    the model, .index > 100 KB is the index (reference webui.py:41-67)."""
+    if os.path.exists(extraction_folder):
+        raise ValueError(f"Voice model directory {extraction_folder} already exists!")
+    os.makedirs(extraction_folder)
+    with zipfile.ZipFile(io.BytesIO(zip_bytes)) as zf:
+        zf.extractall(extraction_folder)
+
+    index_filepath, model_filepath = None, None
+    for root, _dirs, files in os.walk(extraction_folder):
+        for name in files:
+            full = os.path.join(root, name)
+            if name.endswith(".index") and os.stat(full).st_size > 1024 * 100:
+                index_filepath = full
+            if name.endswith(".pth") and os.stat(full).st_size > 1024 * 1024 * 40:
+                model_filepath = full
+    if model_filepath is None:
+        shutil.rmtree(extraction_folder)
+        raise ValueError("No .pth model file was found in the extracted zip.")
+    for path in filter(None, (model_filepath, index_filepath)):
+        os.rename(path, os.path.join(extraction_folder, os.path.basename(path)))
+    # clean up unnecessary nested folders (reference webui.py:61-66)
+    for name in os.listdir(extraction_folder):
+        full = os.path.join(extraction_folder, name)
+        if os.path.isdir(full):
+            shutil.rmtree(full)
+
+
+def download_online_model(store: AssetStore, url: str, dir_name: str) -> str:
+    """URL download + extraction, with the pixeldrain rewrite
+    (reference webui.py:70-88)."""
+    extraction_folder = os.path.join(store.rvc_models_dir, dir_name)
+    if os.path.exists(extraction_folder):
+        raise ValueError(f"Voice model directory {dir_name} already exists!")
+    zip_name = url.split("/")[-1]
+    if "pixeldrain.com" in url:
+        url = f"https://pixeldrain.com/api/file/{zip_name}"
+    with urllib.request.urlopen(url) as resp:
+        data = resp.read()
+    extract_model_zip(data, extraction_folder)
+    return f"[+] {dir_name} Model successfully downloaded!"
+
+
+_PAGE = """<!doctype html>
+<html><head><meta charset="utf-8"><title>AICoverGen TPU</title>
+<style>
+body{font-family:system-ui,sans-serif;max-width:920px;margin:2em auto;padding:0 1em;background:#111;color:#eee}
+h1{font-size:1.4em} fieldset{border:1px solid #444;margin:1em 0;border-radius:8px}
+label{display:inline-block;min-width:180px;margin:.25em 0} input,select{background:#222;color:#eee;border:1px solid #555;border-radius:4px;padding:.3em}
+button{background:#3a6;border:0;color:#fff;padding:.5em 1.2em;border-radius:6px;cursor:pointer;margin:.5em 0}
+#bar{height:10px;background:#333;border-radius:5px;overflow:hidden}#fill{height:100%;width:0;background:#3a6}
+.tab{display:inline-block;margin-right:1em;cursor:pointer;color:#8cf}.pane{display:none}.pane.active{display:block}
+table{border-collapse:collapse;width:100%}td,th{border:1px solid #444;padding:.3em;font-size:.85em}
+</style></head><body>
+<h1>AICoverGen <small>TPU-native</small></h1>
+<div><span class="tab" onclick="show('gen')">Generate</span>
+<span class="tab" onclick="show('dl')">Download model</span>
+<span class="tab" onclick="show('up')">Upload model</span></div>
+
+<div id="gen" class="pane active">
+<fieldset><legend>Main</legend>
+<label>Song input (YouTube URL / local path)</label><input id="song" size="50"><br>
+<label>Voice model</label><select id="model"></select>
+<button onclick="refreshModels()">Refresh</button><br>
+<label>Pitch change (octaves)</label><input id="pitch" type="number" value="0" step="1"><br>
+<label>Keep intermediate files</label><input id="keep" type="checkbox">
+</fieldset>
+<fieldset><legend>Voice conversion</legend>
+<label>Index rate</label><input id="index_rate" type="number" value="0.5" step="0.05"><br>
+<label>Filter radius</label><input id="filter_radius" type="number" value="3" step="1"><br>
+<label>RMS mix rate</label><input id="rms" type="number" value="0.25" step="0.05"><br>
+<label>Protect</label><input id="protect" type="number" value="0.33" step="0.01"><br>
+<label>Pitch detection</label><select id="palgo"><option>rmvpe</option><option>mangio-crepe</option><option>crepe</option><option>pm</option><option>dio</option><option>harvest</option></select><br>
+<label>Crepe hop length</label><input id="hop" type="number" value="128" step="1">
+</fieldset>
+<fieldset><legend>Mix & effects</legend>
+<label>Main gain (dB)</label><input id="mv" type="number" value="0"><br>
+<label>Backup gain (dB)</label><input id="bv" type="number" value="0"><br>
+<label>Instrumental gain (dB)</label><input id="iv" type="number" value="0"><br>
+<label>Overall pitch change (semitones)</label><input id="pall" type="number" value="0"><br>
+<label>Reverb room size</label><input id="rsize" type="number" value="0.15" step="0.05"><br>
+<label>Reverb wet</label><input id="rwet" type="number" value="0.2" step="0.05"><br>
+<label>Reverb dry</label><input id="rdry" type="number" value="0.8" step="0.05"><br>
+<label>Reverb damping</label><input id="rdamp" type="number" value="0.7" step="0.05"><br>
+<label>Output format</label><select id="fmt"><option>mp3</option><option>wav</option></select>
+</fieldset>
+<button onclick="generate()">Generate</button>
+<div id="bar"><div id="fill"></div></div><div id="msg"></div>
+<audio id="player" controls style="width:100%;display:none"></audio>
+</div>
+
+<div id="dl" class="pane">
+<label>Model zip URL</label><input id="dl_url" size="50"><br>
+<label>Model name</label><input id="dl_name"><br>
+<button onclick="dlModel()">Download</button><div id="dl_msg"></div>
+<h3>Public models</h3><input id="pub_filter" placeholder="search..." oninput="renderPub()">
+<table id="pub"></table>
+</div>
+
+<div id="up" class="pane">
+<label>Model zip / .pth</label><input id="up_file" type="file"><br>
+<label>Model name</label><input id="up_name"><br>
+<button onclick="upModel()">Upload</button><div id="up_msg"></div>
+</div>
+
+<script>
+let PUB=[];
+function show(id){document.querySelectorAll('.pane').forEach(p=>p.classList.remove('active'));
+document.getElementById(id).classList.add('active');}
+async function refreshModels(){const r=await fetch('/api/models');const m=await r.json();
+const sel=document.getElementById('model');sel.innerHTML='';m.forEach(x=>{const o=document.createElement('option');o.textContent=x;sel.appendChild(o);});}
+async function generate(){
+const body={song_input:v('song'),voice_model:v('model'),pitch_change:+v('pitch'),
+keep_files:document.getElementById('keep').checked,index_rate:+v('index_rate'),
+filter_radius:+v('filter_radius'),rms_mix_rate:+v('rms'),protect:+v('protect'),
+f0_method:v('palgo'),crepe_hop_length:+v('hop'),main_gain:+v('mv'),backup_gain:+v('bv'),
+inst_gain:+v('iv'),pitch_change_all:+v('pall'),reverb_rm_size:+v('rsize'),
+reverb_wet:+v('rwet'),reverb_dry:+v('rdry'),reverb_damping:+v('rdamp'),output_format:v('fmt')};
+const r=await fetch('/api/generate',{method:'POST',body:JSON.stringify(body)});
+const {job_id}=await r.json();poll(job_id);}
+function v(id){return document.getElementById(id).value;}
+async function poll(id){const r=await fetch('/api/job/'+id);const j=await r.json();
+document.getElementById('fill').style.width=(j.progress*100)+'%';
+document.getElementById('msg').textContent=j.message||j.status;
+if(j.status==='done'){const p=document.getElementById('player');
+p.src='/api/audio?path='+encodeURIComponent(j.result);p.style.display='block';}
+else if(j.status!=='error'){setTimeout(()=>poll(id),1000);}}
+async function dlModel(){const r=await fetch('/api/download_model',{method:'POST',
+body:JSON.stringify({url:v('dl_url'),name:v('dl_name')})});
+document.getElementById('dl_msg').textContent=await r.text();}
+async function upModel(){const f=document.getElementById('up_file').files[0];
+const fd=new FormData();fd.append('file',f);fd.append('name',v('up_name'));
+const r=await fetch('/api/upload_model',{method:'POST',body:fd});
+document.getElementById('up_msg').textContent=await r.text();}
+async function loadPub(){const r=await fetch('/api/public_models');PUB=(await r.json()).voice_models||[];renderPub();}
+function renderPub(){const q=v('pub_filter').toLowerCase();const t=document.getElementById('pub');
+t.innerHTML='<tr><th>Name</th><th>Description</th><th>Credit</th><th>Tags</th><th></th></tr>';
+PUB.filter(m=>!q||JSON.stringify(m).toLowerCase().includes(q)).forEach(m=>{
+const tr=document.createElement('tr');
+tr.innerHTML=`<td>${m.name}</td><td>${m.description||''}</td><td>${m.credit||''}</td><td>${(m.tags||[]).join(', ')}</td>
+<td><button onclick="autofill('${m.url}','${m.name}')">use</button></td>`;t.appendChild(tr);});}
+function autofill(u,n){document.getElementById('dl_url').value=u;document.getElementById('dl_name').value=n;}
+refreshModels();loadPub();
+</script></body></html>"""
+
+
+def _parse_multipart(body: bytes, content_type: str):
+    """Minimal multipart/form-data parser (stdlib-only)."""
+    m = re.search(r"boundary=([^;]+)", content_type)
+    if not m:
+        raise ValueError("missing multipart boundary")
+    boundary = m.group(1).strip('"').encode()
+    fields = {}
+    for part in body.split(b"--" + boundary):
+        part = part.strip(b"\r\n")
+        if not part or part == b"--":
+            continue
+        header_blob, _, value = part.partition(b"\r\n\r\n")
+        headers = header_blob.decode(errors="replace")
+        name_m = re.search(r'name="([^"]+)"', headers)
+        if not name_m:
+            continue
+        fname_m = re.search(r'filename="([^"]*)"', headers)
+        fields[name_m.group(1)] = {
+            "filename": fname_m.group(1) if fname_m else None,
+            "data": value,
+        }
+    return fields
+
+
+def make_handler(store: AssetStore):
+    class Handler(BaseHTTPRequestHandler):
+        def log_message(self, fmt, *args):
+            pass
+
+        def _json(self, obj, code=200):
+            data = json.dumps(obj).encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def _text(self, text, code=200):
+            data = text.encode()
+            self.send_response(code)
+            self.send_header("Content-Type", "text/plain; charset=utf-8")
+            self.send_header("Content-Length", str(len(data)))
+            self.end_headers()
+            self.wfile.write(data)
+
+        def do_GET(self):
+            parsed = urllib.parse.urlparse(self.path)
+            if parsed.path == "/":
+                data = _PAGE.encode()
+                self.send_response(200)
+                self.send_header("Content-Type", "text/html; charset=utf-8")
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+            elif parsed.path == "/api/models":
+                self._json(store.list_voice_models())
+            elif parsed.path == "/api/public_models":
+                self._json(load_public_models_index(store.base_dir))
+            elif parsed.path.startswith("/api/job/"):
+                job = _JOBS.get(parsed.path.rsplit("/", 1)[-1])
+                if job is None:
+                    self._json({"error": "no such job"}, 404)
+                else:
+                    self._json(job)
+            elif parsed.path == "/api/audio":
+                qs = urllib.parse.parse_qs(parsed.query)
+                path = os.path.abspath(qs.get("path", [""])[0])
+                root = os.path.abspath(store.output_dir)
+                if not path.startswith(root + os.sep) or not os.path.exists(path):
+                    self._text("not found", 404)
+                    return
+                with open(path, "rb") as f:
+                    data = f.read()
+                ctype = "audio/mpeg" if path.endswith(".mp3") else "audio/wav"
+                self.send_response(200)
+                self.send_header("Content-Type", ctype)
+                self.send_header("Content-Length", str(len(data)))
+                self.end_headers()
+                self.wfile.write(data)
+            else:
+                self._text("not found", 404)
+
+        def do_POST(self):
+            length = int(self.headers.get("Content-Length", 0))
+            body = self.rfile.read(length)
+            try:
+                if self.path == "/api/generate":
+                    params = json.loads(body)
+                    job_id = uuid.uuid4().hex[:12]
+                    _JOBS[job_id] = {"status": "queued", "progress": 0.0, "message": ""}
+                    _JOB_QUEUE.put((job_id, params))
+                    self._json({"job_id": job_id})
+                elif self.path == "/api/download_model":
+                    req = json.loads(body)
+                    msg = download_online_model(store, req["url"], req["name"])
+                    self._text(msg)
+                elif self.path == "/api/upload_model":
+                    fields = _parse_multipart(body, self.headers.get("Content-Type", ""))
+                    name = fields["name"]["data"].decode().strip()
+                    blob = fields["file"]["data"]
+                    fname = fields["file"]["filename"] or ""
+                    dest_dir = os.path.join(store.rvc_models_dir, name)
+                    if fname.endswith(".zip"):
+                        extract_model_zip(blob, dest_dir)
+                    elif fname.endswith(".pth"):
+                        os.makedirs(dest_dir, exist_ok=True)
+                        with open(os.path.join(dest_dir, fname), "wb") as f:
+                            f.write(blob)
+                    else:
+                        raise ValueError("upload a .zip or .pth file")
+                    self._text(f"[+] {name} Model successfully uploaded!")
+                else:
+                    self._text("not found", 404)
+            except Exception as e:
+                self._text(f"error: {e}", 500)
+
+    return Handler
+
+
+def serve(
+    base_dir: Optional[str] = None,
+    host: str = "127.0.0.1",
+    port: int = 7860,
+    start_worker: bool = True,
+) -> ThreadingHTTPServer:
+    store = AssetStore(base_dir or default_base_dir())
+    os.makedirs(store.output_dir, exist_ok=True)
+    os.makedirs(store.rvc_models_dir, exist_ok=True)
+    if start_worker:
+        threading.Thread(target=_worker, args=(store,), daemon=True).start()
+    server = ThreadingHTTPServer((host, port), make_handler(store))
+    return server
+
+
+def main(argv=None) -> int:
+    import argparse
+
+    from ..utils.platform import apply_platform_env
+
+    apply_platform_env()
+    ap = argparse.ArgumentParser(description="AICoverGen TPU web UI")
+    ap.add_argument("--listen-host", default="127.0.0.1")
+    ap.add_argument("--listen-port", type=int, default=7860)
+    ap.add_argument("--listen", action="store_true", help="bind 0.0.0.0")
+    ap.add_argument("--base-dir", default=None)
+    args = ap.parse_args(argv)
+    host = "0.0.0.0" if args.listen else args.listen_host
+    server = serve(args.base_dir, host, args.listen_port)
+    print(f"[+] web UI at http://{host}:{args.listen_port}")
+    server.serve_forever()
+    return 0
+
+
+if __name__ == "__main__":
+    main()

@@ -151,12 +151,98 @@ def _slice(node: OnnxNode, inputs):
 _INT_MAX = 2**62
 
 
-class OnnxExecutor:
-    """Callable: feed dict or single array -> output array(s)."""
+def _fuse_conv_bn(graph: OnnxGraph) -> OnnxGraph:
+    """Graph pass: fold BatchNormalization into a preceding Conv/ConvTranspose
+    when the conv output feeds only the BN (BN broadcasts are ~100x slower
+    than fused conv bias on the measured TPU backend)."""
+    from ..convert.bn_fold import fold_conv_bn
 
-    def __init__(self, graph: OnnxGraph):
+    consumers: Dict[str, int] = {}
+    for node in graph.nodes:
+        for name in node.inputs:
+            consumers[name] = consumers.get(name, 0) + 1
+    for out in graph.outputs:
+        consumers[out] = consumers.get(out, 0) + 1
+
+    producer = {}
+    for node in graph.nodes:
+        for out in node.outputs:
+            producer[out] = node
+
+    inits = dict(graph.initializers)
+    drop = set()
+    for node in graph.nodes:
+        if node.op_type != "BatchNormalization":
+            continue
+        src = producer.get(node.inputs[0])
+        if src is None or src.op_type not in ("Conv", "ConvTranspose"):
+            continue
+        if consumers.get(node.inputs[0], 0) != 1:
+            continue
+        wname = src.inputs[1]
+        if wname not in inits or any(
+            n not in inits for n in node.inputs[1:5]
+        ):
+            continue
+        conv_p = {"weight": inits[wname]}
+        if len(src.inputs) > 2 and src.inputs[2] in inits:
+            conv_p["bias"] = inits[src.inputs[2]]
+        bn_p = {
+            "weight": inits[node.inputs[1]],
+            "bias": inits[node.inputs[2]],
+            "running_mean": inits[node.inputs[3]],
+            "running_var": inits[node.inputs[4]],
+        }
+        folded = fold_conv_bn(
+            conv_p, bn_p, eps=node.attr("epsilon", 1e-5),
+            transpose=src.op_type == "ConvTranspose",
+        )
+        new_w = wname + "__bnfold"
+        new_b = wname + "__bnfold_bias"
+        inits[new_w] = folded["weight"]
+        inits[new_b] = folded["bias"]
+        src.inputs = [src.inputs[0], new_w, new_b]
+        src.outputs = list(node.outputs)  # conv now produces the BN's output
+        drop.add(id(node))
+
+    graph.nodes = [n for n in graph.nodes if id(n) not in drop]
+    graph.initializers = inits
+    return graph
+
+
+class OnnxExecutor:
+    """Callable: feed dict or single array -> output array(s).
+
+    For jit use, call ``apply(weights, x)`` with ``weights`` (see the
+    `.weights` attribute) passed as a jit *argument* — closed-over weights
+    get embedded into the HLO as literals, which explodes compile time and
+    can exceed remote-compiler request limits.
+    """
+
+    def __init__(self, graph: OnnxGraph, fuse: bool = True):
+        if fuse:
+            graph = _fuse_conv_bn(graph)
         self.graph = graph
         self.initializers = {k: v for k, v in graph.initializers.items()}
+        # split: large float tensors travel as jit args; small/int metadata
+        # tensors (shape math, slice indices) stay concrete for tracing
+        self.weights = {
+            k: v
+            for k, v in self.initializers.items()
+            if v.dtype in (np.float32, np.float16, np.float64) and v.size > 64
+        }
+        self._static = {k: v for k, v in self.initializers.items() if k not in self.weights}
+
+    def apply(self, weights: Dict[str, object], *args):
+        graph = self.graph
+        env: Dict[str, object] = dict(self._static)
+        env.update(weights)
+        if len(args) == 1 and not isinstance(args[0], dict):
+            env[graph.inputs[0]] = args[0]
+        else:
+            feed = args[0] if isinstance(args[0], dict) else {}
+            env.update(feed)
+        return self._execute(env)
 
     def __call__(self, *args):
         graph = self.graph
@@ -166,6 +252,10 @@ class OnnxExecutor:
         else:
             feed = args[0] if isinstance(args[0], dict) else {}
             env.update(feed)
+        return self._execute(env)
+
+    def _execute(self, env: Dict[str, object]):
+        graph = self.graph
         for node in graph.nodes:
             ins = [env.get(n) if n else None for n in node.inputs]
             outs = self._run_node(node, ins)

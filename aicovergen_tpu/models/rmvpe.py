@@ -35,11 +35,16 @@ EN_OUT_CHANNELS = 16
 
 def _conv_block_res(p, x):
     """ConvBlockRes (reference rmvpe.py:23-58): two 3x3 conv+BN+ReLU with a
-    residual (1x1 shortcut when channels change)."""
+    residual (1x1 shortcut when channels change).  Supports both raw trees
+    (with BN entries '1'/'4') and BN-folded trees (convert/bn_fold.py)."""
     h = conv2d(p["conv"]["0"], x, padding=(1, 1))
-    h = jax.nn.relu(batch_norm(p["conv"]["1"], h))
+    if "1" in p["conv"]:
+        h = batch_norm(p["conv"]["1"], h)
+    h = jax.nn.relu(h)
     h = conv2d(p["conv"]["3"], h, padding=(1, 1))
-    h = jax.nn.relu(batch_norm(p["conv"]["4"], h))
+    if "4" in p["conv"]:
+        h = batch_norm(p["conv"]["4"], h)
+    h = jax.nn.relu(h)
     if "shortcut" in p:
         return h + conv2d(p["shortcut"], x)
     return h + x
@@ -57,7 +62,9 @@ def _res_decoder_block(p, x, skip):
     x = conv_transpose2d(
         p["conv1"]["0"], x, stride=(2, 2), padding=(1, 1), output_padding=(1, 1)
     )
-    x = jax.nn.relu(batch_norm(p["conv1"]["1"], x))
+    if "1" in p["conv1"]:
+        x = batch_norm(p["conv1"]["1"], x)
+    x = jax.nn.relu(x)
     x = jnp.concatenate([x, skip], axis=1)
     for i in range(N_BLOCKS):
         x = _conv_block_res(p["conv2"][str(i)], x)
@@ -66,7 +73,12 @@ def _res_decoder_block(p, x, skip):
 
 def deep_unet(p, x):
     """DeepUnet (reference rmvpe.py:190-218) on (B, 1, T, 128)."""
-    x = batch_norm(p["encoder"]["bn"], x)
+    bn = p["encoder"]["bn"]
+    if "scale" in bn:  # folded form (convert/bn_fold.py)
+        c = bn["scale"].shape[0]
+        x = x * bn["scale"].reshape(1, c, 1, 1) + bn["shift"].reshape(1, c, 1, 1)
+    else:
+        x = batch_norm(bn, x)
     skips = []
     for i in range(EN_DE_LAYERS):
         skip, x = _res_encoder_block(p["encoder"]["layers"][str(i)], x, pool=True)
@@ -116,7 +128,11 @@ class RMVPE:
     """Inference wrapper (reference rmvpe.py:328-383): log-mel -> pad frames
     to a multiple of 32 (reflect) -> E2E -> decode."""
 
-    def __init__(self, params: dict, dtype=jnp.float32):
+    def __init__(self, params: dict, dtype=jnp.float32, fold_bn: bool = True):
+        if fold_bn and "running_mean" in params.get("unet", {}).get("encoder", {}).get("bn", {}):
+            from ..convert.bn_fold import fold_rmvpe_tree
+
+            params = fold_rmvpe_tree(params)
         self.params = params
         self.dtype = dtype
         self.mel_basis = mel_filterbank(16000, 1024, N_MELS, 30, 8000, htk=True)

@@ -24,32 +24,22 @@ import numpy as np
 
 
 def _linear_one_pole(x: jnp.ndarray, a: float) -> jnp.ndarray:
-    """y[n] = a*y[n-1] + (1-a)*x[n] via associative scan (y[-1]=x[0])."""
-
-    def combine(l, r):
-        a1, b1 = l
-        a2, b2 = r
-        return a1 * a2, b1 * a2 + b2
+    """y[n] = a*y[n-1] + (1-a)*x[n] via blockwise associative scan
+    (y[-1]=x[0])."""
+    from .scan_utils import first_order_linear_scan
 
     coef = jnp.full_like(x, a)
     b = (1.0 - a) * x
     b = b.at[0].add(a * x[0])
-    a_cum, b_cum = jax.lax.associative_scan(combine, (coef, b))
-    return b_cum
+    return first_order_linear_scan(coef, b)
 
 
 def _release_envelope(x: jnp.ndarray, r: float) -> jnp.ndarray:
-    """y[n] = max(x[n], r*y[n-1]) == max_k x[k] * r^(n-k), computed blockwise
-    in log space to bound exponents (a max-plus associative scan)."""
-
-    def combine(l, r_):
-        decay_l, m_l = l
-        decay_r, m_r = r_
-        return decay_l * decay_r, jnp.maximum(m_l * decay_r, m_r)
+    """y[n] = max(x[n], r*y[n-1]) — a max-plus blockwise associative scan."""
+    from .scan_utils import max_decay_scan
 
     decay = jnp.full_like(x, r)
-    _, env = jax.lax.associative_scan(combine, (decay, x))
-    return env
+    return max_decay_scan(decay, x)
 
 
 @functools.partial(

@@ -1,0 +1,72 @@
+"""Device-mesh utilities: the framework's communication backend.
+
+The reference is a single-process single-GPU app with thread-level chunk
+parallelism (reference src/mdx.py:201-235); here parallel execution is
+expressed through `jax.sharding` over a named mesh and XLA collectives ride
+the ICI:
+
+  * axis "data"  — batch/chunk data parallelism (MDX chunk batches, VC
+    segment batches, concurrent songs, training batches);
+  * axis "model" — tensor parallelism for the wide matmuls (attention QKV /
+    FFN of the text encoder and HuBERT) via GSPMD sharding constraints.
+
+All helpers degrade gracefully to a single device.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def make_mesh(n_devices: Optional[int] = None, model_parallel: int = 1) -> Mesh:
+    devices = jax.devices()
+    n = n_devices or len(devices)
+    devices = devices[:n]
+    if n % model_parallel != 0:
+        raise ValueError(f"{n} devices not divisible by model_parallel={model_parallel}")
+    arr = np.asarray(devices).reshape(n // model_parallel, model_parallel)
+    return Mesh(arr, ("data", "model"))
+
+
+def shard_batch(x, mesh: Mesh):
+    """Place an array with its leading axis split across "data"."""
+    spec = P("data", *([None] * (x.ndim - 1)))
+    return jax.device_put(x, NamedSharding(mesh, spec))
+
+
+def replicate(tree, mesh: Mesh):
+    """Fully replicate a pytree across the mesh."""
+    sharding = NamedSharding(mesh, P())
+    return jax.device_put(tree, sharding)
+
+
+def batch_sharding(mesh: Mesh, ndim: int) -> NamedSharding:
+    return NamedSharding(mesh, P("data", *([None] * (ndim - 1))))
+
+
+def pad_to_multiple(x: np.ndarray, multiple: int, axis: int = 0):
+    """Zero-pad the leading axis so it divides the data-parallel width.
+    Returns (padded, original_length)."""
+    n = x.shape[axis]
+    pad = (-n) % multiple
+    if pad == 0:
+        return x, n
+    widths = [(0, 0)] * x.ndim
+    widths[axis] = (0, pad)
+    return np.pad(x, widths), n
+
+
+def make_chunk_sharder(mesh: Optional[Mesh]):
+    """Sharding hook for pipeline.separate.make_chunk_runner: places each
+    chunk batch across the "data" axis."""
+    if mesh is None:
+        return None
+
+    def shard(x):
+        return jax.device_put(x, batch_sharding(mesh, x.ndim))
+
+    return shard

@@ -120,15 +120,30 @@ def make_chunk_runner(
     STFT -> model -> iSTFT fused into one XLA program.
 
     `shard` optionally places the batch across a device mesh
-    (see parallel.mesh.shard_batch).
+    (see parallel.mesh.shard_batch).  If model_fn is an OnnxExecutor its
+    weights are passed as jit arguments (never baked into the HLO).
     """
     window = hann_window(params.n_fft)  # concrete numpy; constant under jit
+    weights = getattr(model_fn, "weights", None)
+    if weights is not None:
+        weights = jax.device_put(weights)
 
     @jax.jit
-    def run_batch(x: jnp.ndarray) -> jnp.ndarray:
+    def run_batch_w(w, x: jnp.ndarray) -> jnp.ndarray:
+        spec = spec_pack(x, params.n_fft, params.hop, window, params.dim_f)
+        out = model_fn.apply(w, spec)
+        return spec_unpack(out, params.n_fft, params.hop, window, params.chunk_size)
+
+    @jax.jit
+    def run_batch_plain(x: jnp.ndarray) -> jnp.ndarray:
         spec = spec_pack(x, params.n_fft, params.hop, window, params.dim_f)
         out = model_fn(spec)
         return spec_unpack(out, params.n_fft, params.hop, window, params.chunk_size)
+
+    def run_batch(x):
+        if weights is not None:
+            return run_batch_w(weights, x)
+        return run_batch_plain(x)
 
     def run(chunks: np.ndarray, denoise: bool = False) -> np.ndarray:
         n = chunks.shape[0]

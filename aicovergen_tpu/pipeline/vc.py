@@ -33,7 +33,7 @@ import numpy as np
 from ..models.hubert import conv_output_frames, hubert_features
 from ..models.rvc import RVCConfig, synthesizer_infer
 from ..ops.envelope import mix_rms_envelope
-from ..ops.filters import butter_highpass, filtfilt
+from ..ops.filters import butter_highpass, zero_phase_fft
 from ..ops.resample import resample
 from ..retrieval.knn import Retriever
 from ..utils.config import RuntimeConfig
@@ -205,7 +205,10 @@ class VoiceConverter:
         t_pad_tgt = self.tgt_sr * rt.x_pad
         t_pad2 = t_pad * 2
 
-        audio = np.asarray(filtfilt(self._hp_b, self._hp_a, jnp.asarray(audio)), np.float64)
+        audio = np.asarray(
+            zero_phase_fft(self._hp_b, self._hp_a, jnp.asarray(audio, jnp.float32)),
+            np.float64,
+        )
         opt_ts = find_split_points(audio, rt)
 
         audio_pad = np.pad(audio, (t_pad, t_pad), mode="reflect")

@@ -130,3 +130,17 @@ def test_mel_filterbank_htk_slaney_properties():
     df = 16000 / 2 / 512
     areas = fb.sum(axis=1) * df
     assert np.all(areas > 0.5) and np.all(areas < 1.6)
+
+
+def test_zero_phase_fft_matches_filtfilt_interior():
+    """The FFT zero-phase path (TPU production path for the VC high-pass)
+    vs scipy.filtfilt away from edges."""
+    from aicovergen_tpu.ops.filters import zero_phase_fft
+
+    b, a = butter_highpass(5, 48, 16000)
+    rng = np.random.default_rng(11)
+    x = rng.standard_normal(160000).astype(np.float32)
+    ours = np.asarray(zero_phase_fft(b, a, jnp.asarray(x)))
+    ref = sps.filtfilt(b, a, x.astype(np.float64))
+    err = np.abs(ours[8000:-8000] - ref[8000:-8000]).max()
+    assert err < 1e-4, err

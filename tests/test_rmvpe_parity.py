@@ -46,3 +46,21 @@ def test_infer_from_audio_shape():
     f0 = np.asarray(model.infer(jnp.asarray(audio)))
     assert f0.shape == (sr // 160 + 1,)
     assert np.all(np.isfinite(f0))
+
+
+def test_bn_folding_equivalence():
+    """BN-folded tree (the production form) matches the raw tree."""
+    from aicovergen_tpu.convert.bn_fold import fold_rmvpe_tree
+
+    fx = load_fixture("rmvpe_e2e.npz")
+    flat = {
+        k[3:]: fx[k]
+        for k in fx.files
+        if k.startswith("sd:") and not k.endswith("num_batches_tracked")
+    }
+    raw = nest(flat)
+    folded = fold_rmvpe_tree(raw)
+    mel = jnp.asarray(fx["mel"])
+    out_raw = np.asarray(e2e_forward(raw, mel))
+    out_folded = np.asarray(e2e_forward(folded, mel))
+    np.testing.assert_allclose(out_folded, out_raw, rtol=1e-4, atol=1e-5)
