@@ -25,6 +25,14 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 def make_mesh(n_devices: Optional[int] = None, model_parallel: int = 1) -> Mesh:
     devices = jax.devices()
     n = n_devices or len(devices)
+    if len(devices) < n:
+        platforms = sorted({d.platform for d in devices})
+        raise RuntimeError(
+            f"make_mesh needs {n} devices but jax.devices() has only "
+            f"{len(devices)} on platform(s) {platforms}; for a simulated mesh "
+            "set jax.config.update('jax_platforms','cpu') and "
+            "jax.config.update('jax_num_cpu_devices', n) before any jax op"
+        )
     devices = devices[:n]
     if n % model_parallel != 0:
         raise ValueError(f"{n} devices not divisible by model_parallel={model_parallel}")
