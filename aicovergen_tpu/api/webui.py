@@ -93,10 +93,19 @@ def extract_model_zip(zip_bytes: bytes, extraction_folder: str) -> None:
             shutil.rmtree(full)
 
 
+def _safe_model_name(name: str) -> str:
+    """Reject path separators / traversal in user-supplied model names —
+    they are joined into rvc_models_dir (and failures rmtree the computed
+    folder), so '../x' must never pass."""
+    if not name or not re.fullmatch(r"[\w .\-()\[\]]+", name) or name.strip(". ") == "":
+        raise ValueError(f"invalid model name: {name!r}")
+    return name
+
+
 def download_online_model(store: AssetStore, url: str, dir_name: str) -> str:
     """URL download + extraction, with the pixeldrain rewrite
     (reference webui.py:70-88)."""
-    extraction_folder = os.path.join(store.rvc_models_dir, dir_name)
+    extraction_folder = os.path.join(store.rvc_models_dir, _safe_model_name(dir_name))
     if os.path.exists(extraction_folder):
         raise ValueError(f"Voice model directory {dir_name} already exists!")
     zip_name = url.split("/")[-1]
@@ -309,7 +318,7 @@ def make_handler(store: AssetStore):
                     self._text(msg)
                 elif self.path == "/api/upload_model":
                     fields = _parse_multipart(body, self.headers.get("Content-Type", ""))
-                    name = fields["name"]["data"].decode().strip()
+                    name = _safe_model_name(fields["name"]["data"].decode().strip())
                     blob = fields["file"]["data"]
                     fname = fields["file"]["filename"] or ""
                     dest_dir = os.path.join(store.rvc_models_dir, name)
@@ -317,7 +326,7 @@ def make_handler(store: AssetStore):
                         extract_model_zip(blob, dest_dir)
                     elif fname.endswith(".pth"):
                         os.makedirs(dest_dir, exist_ok=True)
-                        with open(os.path.join(dest_dir, fname), "wb") as f:
+                        with open(os.path.join(dest_dir, os.path.basename(fname)), "wb") as f:
                             f.write(blob)
                     else:
                         raise ValueError("upload a .zip or .pth file")

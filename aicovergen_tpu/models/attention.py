@@ -72,7 +72,9 @@ def multi_head_attention(p, x, attn_mask, n_heads: int, window_size: int):
 
     if attn_mask is not None:
         scores = jnp.where(attn_mask == 0, -1e4, scores)
-    p_attn = jax.nn.softmax(scores, axis=-1)
+    # softmax in >=fp32 (bf16 exponent sums lose mass on long rows)
+    p_attn = jax.nn.softmax(scores.astype(jnp.promote_types(x.dtype, jnp.float32)), axis=-1)
+    p_attn = p_attn.astype(x.dtype)
     out = jnp.einsum("bhts,bhsd->bhtd", p_attn, v)
 
     rel_weights = _absolute_to_relative(p_attn)  # (B, H, T, 2T-1)

@@ -67,10 +67,15 @@ def _attention(p, x: jnp.ndarray, key_mask: Optional[jnp.ndarray]) -> jnp.ndarra
     q = linear(p["q_proj"], x).reshape(b, t, N_HEADS, hd).swapaxes(1, 2)
     k = linear(p["k_proj"], x).reshape(b, t, N_HEADS, hd).swapaxes(1, 2)
     v = linear(p["v_proj"], x).reshape(b, t, N_HEADS, hd).swapaxes(1, 2)
-    scores = jnp.einsum("bhtd,bhsd->bhts", q / jnp.sqrt(jnp.asarray(hd, x.dtype)), k)
+    scores = jnp.einsum(
+        "bhtd,bhsd->bhts",
+        q / jnp.sqrt(jnp.asarray(hd, x.dtype)),
+        k,
+        preferred_element_type=jnp.promote_types(x.dtype, jnp.float32),
+    )
     if key_mask is not None:
         scores = jnp.where(key_mask[:, None, None, :], scores, -jnp.inf)
-    attn = jax.nn.softmax(scores, axis=-1)
+    attn = jax.nn.softmax(scores, axis=-1).astype(x.dtype)
     out = jnp.einsum("bhts,bhsd->bhtd", attn, v).swapaxes(1, 2).reshape(b, t, d)
     return linear(p["out_proj"], out)
 

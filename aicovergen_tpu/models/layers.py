@@ -43,15 +43,19 @@ def embedding(p, ids):
 
 
 def layer_norm(p, x, axis: int = -1, eps: float = 1e-5):
-    """LayerNorm over `axis` with weight/bias (or gamma/beta) params."""
-    mean = jnp.mean(x, axis=axis, keepdims=True)
-    var = jnp.var(x, axis=axis, keepdims=True)
-    xn = (x - mean) * jax.lax.rsqrt(var + eps)
+    """LayerNorm over `axis` with weight/bias (or gamma/beta) params.
+    Statistics are computed in >=fp32 regardless of the bf16 compute dtype."""
+    cdt = jnp.promote_types(x.dtype, jnp.float32)
+    xf = x.astype(cdt)
+    mean = jnp.mean(xf, axis=axis, keepdims=True)
+    var = jnp.var(xf, axis=axis, keepdims=True)
+    xn = (xf - mean) * jax.lax.rsqrt(var + eps)
     w = p.get("weight", p.get("gamma"))
     b = p.get("bias", p.get("beta"))
     shape = [1] * x.ndim
     shape[axis] = -1
-    return xn * w.reshape(shape) + b.reshape(shape)
+    out = xn * w.reshape(shape).astype(cdt) + b.reshape(shape).astype(cdt)
+    return out.astype(x.dtype)
 
 
 def group_norm(p, x, num_groups: int, eps: float = 1e-5, valid_len=None):
@@ -63,7 +67,8 @@ def group_norm(p, x, num_groups: int, eps: float = 1e-5, valid_len=None):
     """
     b, c = x.shape[0], x.shape[1]
     g = num_groups
-    xg = x.reshape((b, g, c // g) + x.shape[2:])
+    cdt = jnp.promote_types(x.dtype, jnp.float32)  # fp32 statistics under bf16
+    xg = x.astype(cdt).reshape((b, g, c // g) + x.shape[2:])
     axes = tuple(range(2, xg.ndim))
     if valid_len is None:
         mean = jnp.mean(xg, axis=axes, keepdims=True)
@@ -75,18 +80,26 @@ def group_norm(p, x, num_groups: int, eps: float = 1e-5, valid_len=None):
         xm = jnp.where(mask, xg, 0.0)
         mean = jnp.sum(xm, axis=axes, keepdims=True) / count
         var = jnp.sum(jnp.where(mask, jnp.square(xg - mean), 0.0), axis=axes, keepdims=True) / count
-    xg = (x.reshape(xg.shape) - mean) * jax.lax.rsqrt(var + eps)
+    xg = (xg - mean) * jax.lax.rsqrt(var + eps)
     xn = xg.reshape(x.shape)
     shape = (1, c) + (1,) * (x.ndim - 2)
-    return xn * p["weight"].reshape(shape) + p["bias"].reshape(shape)
+    out = xn * p["weight"].reshape(shape).astype(cdt) + p["bias"].reshape(shape).astype(cdt)
+    return out.astype(x.dtype)
 
 
 def batch_norm(p, x, eps: float = 1e-5):
-    """Inference-mode BatchNorm (running statistics) over (B, C, ...)."""
+    """Inference-mode BatchNorm (running statistics) over (B, C, ...).
+    The scale/shift are folded in >=fp32 and applied in the compute dtype."""
     c = x.shape[1]
     shape = (1, c) + (1,) * (x.ndim - 2)
-    scale = p["weight"].reshape(shape) * jax.lax.rsqrt(p["running_var"].reshape(shape) + eps)
-    return (x - p["running_mean"].reshape(shape)) * scale + p["bias"].reshape(shape)
+    cdt = jnp.promote_types(x.dtype, jnp.float32)
+    w = p["weight"].astype(cdt)
+    rv = p["running_var"].astype(cdt)
+    rm = p["running_mean"].astype(cdt)
+    b = p["bias"].astype(cdt)
+    scale = w * jax.lax.rsqrt(rv + eps)
+    shift = b - rm * scale
+    return x * scale.reshape(shape).astype(x.dtype) + shift.reshape(shape).astype(x.dtype)
 
 
 def conv1d(p, x, stride: int = 1, padding: int = 0, dilation: int = 1, groups: int = 1):

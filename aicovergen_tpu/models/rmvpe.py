@@ -93,12 +93,18 @@ def deep_unet(p, x):
 @jax.jit
 def e2e_forward(params, mel: jnp.ndarray) -> jnp.ndarray:
     """E2E.forward (reference rmvpe.py:254-258): (B, 128, T) log-mel ->
-    (B, T, 360) salience."""
-    x = jnp.swapaxes(mel, 1, 2)[:, None]  # (B, 1, T, 128)
+    (B, T, 360) salience.
+
+    The U-Net/conv stack runs in the dtype of its parameters (bf16 under
+    mixed precision); the BiGRU head and sigmoid decode stay in the fc
+    parameters' dtype (fp32) for pitch accuracy."""
+    conv_dtype = params["cnn"]["weight"].dtype
+    head_dtype = params["fc"]["0"]["gru"]["weight_ih_l0"].dtype
+    x = jnp.swapaxes(mel, 1, 2)[:, None].astype(conv_dtype)  # (B, 1, T, 128)
     x = deep_unet(params["unet"], x)
     x = conv2d(params["cnn"], x, padding=(1, 1))  # (B, 3, T, 128)
     x = jnp.swapaxes(x, 1, 2).reshape(x.shape[0], x.shape[2], 3 * N_MELS)
-    x = bigru(params["fc"]["0"]["gru"], x)
+    x = bigru(params["fc"]["0"]["gru"], x.astype(head_dtype))
     x = linear(params["fc"]["1"], x)
     return jax.nn.sigmoid(x)
 
@@ -128,11 +134,22 @@ class RMVPE:
     """Inference wrapper (reference rmvpe.py:328-383): log-mel -> pad frames
     to a multiple of 32 (reflect) -> E2E -> decode."""
 
-    def __init__(self, params: dict, dtype=jnp.float32, fold_bn: bool = True):
+    def __init__(self, params: dict, dtype=None, fold_bn: bool = True):
         if fold_bn and "running_mean" in params.get("unet", {}).get("encoder", {}).get("bn", {}):
             from ..convert.bn_fold import fold_rmvpe_tree
 
             params = fold_rmvpe_tree(params)
+        if dtype is not None and dtype != jnp.float32:
+            # mixed precision AFTER BN folding: the conv stack (unet + head
+            # conv) runs reduced-precision; the BiGRU + linear decode ("fc")
+            # stay fp32 so the cents argmax/weighting keep pitch accuracy
+            from ..utils.precision import cast_floats
+
+            params = {
+                k: (cast_floats(v, dtype) if k in ("unet", "cnn") else v)
+                for k, v in params.items()
+            }
+        dtype = dtype or jnp.float32
         self.params = params
         self.dtype = dtype
         self.mel_basis = mel_filterbank(16000, 1024, N_MELS, 30, 8000, htk=True)

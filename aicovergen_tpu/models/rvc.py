@@ -263,8 +263,10 @@ def generator_nsf(p, x, f0, g, cfg: RVCConfig, noise=None, rng=None):
     """GeneratorNSF.forward (reference models.py:494-516).
     x: (B, inter, T), f0: (B, T) Hz at frame rate, g: (B, gin, 1)."""
     upp = cfg.upp
-    har_source = source_module(p["m_source"], f0, upp, cfg.sr, noise=noise, rng=rng)
-    har_source = jnp.swapaxes(har_source, 1, 2)  # (B, 1, T*upp)
+    # the sine source's phase cumsum runs in f0's dtype (fp32); only the
+    # resulting waveform is cast down to the bf16 compute dtype of the convs
+    har_source = source_module(p["m_source"], f0.astype(jnp.float32), upp, cfg.sr, noise=noise, rng=rng)
+    har_source = jnp.swapaxes(har_source, 1, 2).astype(x.dtype)  # (B, 1, T*upp)
 
     x = conv1d(p["conv_pre"], x, padding=3)
     if g is not None:

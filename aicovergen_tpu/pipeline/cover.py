@@ -29,6 +29,7 @@ from ..io.audio import load_audio, save_audio, to_stereo, write_wav
 from ..ops.resample import resample_poly_np
 from ..utils.config import RuntimeConfig, default_config
 from ..utils.hashing import file_hash_blake2b
+from ..utils.metrics import Metrics, profile_trace
 from ..utils.progress import ProgressFn, display_progress
 from .effects import add_audio_effects, combine_audio, pitch_shift_all
 from .loader import build_voice_converter
@@ -90,7 +91,9 @@ class CoverPipeline:
     store: AssetStore
     runtime: RuntimeConfig = field(default_factory=default_config)
     mdx_batch_size: int = 8
-    shard = None  # optional parallel.mesh.shard_batch
+    # optional parallel.mesh.make_chunk_sharder(mesh) hook: places MDX chunk
+    # batches across the "data" mesh axis (see parallel/mesh.py)
+    shard: Optional[object] = None
 
     # ----------------------------------------------------------------- MDX
     def _load_mdx(self, filename: str):
@@ -110,20 +113,27 @@ class CoverPipeline:
         primary, complement = separate(
             wave, model_fn, params,
             denoise=denoise, batch_size=self.mdx_batch_size, shard=self.shard,
+            compute_dtype=self.runtime.compute_dtype if self.runtime.use_bf16 else None,
         )
         del model_fn
         gc.collect()
         return primary, complement
 
-    def separate_song(self, song_dir: str, base: str, orig: np.ndarray, progress=None):
+    def separate_song(
+        self, song_dir: str, base: str, orig: np.ndarray, progress=None, metrics=None
+    ):
         """3-stage separation chain (reference main.py:166-190). Returns dict
         of stems (2, T) float32 at 44.1 kHz and writes the cache files."""
+        metrics = metrics or Metrics()
         display_progress("[~] Separating Vocals from Instrumental...", 0.1, progress)
-        vocals, instrumental = self._run_separation(orig, "UVR-MDX-NET-Voc_FT.onnx")
+        with metrics.stage("separate/vocals"):
+            vocals, instrumental = self._run_separation(orig, "UVR-MDX-NET-Voc_FT.onnx")
         display_progress("[~] Separating Main Vocals from Backup Vocals...", 0.2, progress)
-        backup, main = self._run_separation(vocals, "UVR_MDXNET_KARA_2.onnx")
+        with metrics.stage("separate/karaoke"):
+            backup, main = self._run_separation(vocals, "UVR_MDXNET_KARA_2.onnx")
         display_progress("[~] Applying DeReverb to Vocals...", 0.3, progress)
-        _reverb, dereverb = self._run_separation(main, "Reverb_HQ_By_FoxJoy.onnx")
+        with metrics.stage("separate/dereverb"):
+            _reverb, dereverb = self._run_separation(main, "Reverb_HQ_By_FoxJoy.onnx")
 
         stems = {
             "Vocals": vocals,
@@ -137,7 +147,21 @@ class CoverPipeline:
         return stems
 
     # ---------------------------------------------------------------- cover
-    def song_cover(
+    def song_cover(self, *args, **kwargs) -> str:
+        """Generate a cover; returns the output file path.  Wraps the run in
+        per-stage metrics (one AICG_METRICS log line at the end; report also
+        available via `metrics=` kwarg) and an optional jax.profiler trace
+        (env AICG_PROFILE=<dir>)."""
+        metrics = kwargs.pop("metrics", None)
+        if metrics is None:
+            metrics = Metrics()
+        with profile_trace("song_cover"):
+            try:
+                return self._song_cover(*args, metrics=metrics, **kwargs)
+            finally:
+                metrics.log("song_cover")
+
+    def _song_cover(
         self,
         song_input: str,
         voice_model: str,
@@ -159,9 +183,10 @@ class CoverPipeline:
         reverb_damping: float = 0.7,
         output_format: str = "mp3",
         progress: Optional[ProgressFn] = None,
+        metrics: Optional[Metrics] = None,
     ) -> str:
-        """Generate a cover; returns the output file path.
-        Parameter surface == reference song_cover_pipeline (main.py:236-316)."""
+        """Parameter surface == reference song_cover_pipeline (main.py:236-316)."""
+        metrics = metrics or Metrics()
         if not song_input or not voice_model:
             raise ValueError("song input and voice model are required")
         display_progress("[~] Starting AI Cover Generation Pipeline...", 0.0, progress)
@@ -182,20 +207,34 @@ class CoverPipeline:
         song_dir = os.path.join(self.store.output_dir, song_id)
         os.makedirs(song_dir, exist_ok=True)
 
-        # --- acquire + stereo decode
+        # --- acquire + stereo decode; on a cache hit for a YouTube input,
+        # recover the basename from the cached stems instead of re-downloading
+        # (the reference resolves orig_song_path via get_audio_paths on cache
+        # hit, main.py:269-283)
+        base = None
         if song_path is None:
-            display_progress("[~] Downloading song...", 0.05, progress)
-            song_path = yt_download(song_input.split("&")[0])
-        base = os.path.splitext(os.path.basename(song_path))[0]
+            for f in sorted(os.listdir(song_dir)) if os.path.isdir(song_dir) else []:
+                if f.endswith("_Vocals_Main_DeReverb.wav"):
+                    base = f[: -len("_Vocals_Main_DeReverb.wav")]
+                    break
+        else:
+            base = os.path.splitext(os.path.basename(song_path))[0]
 
-        # --- stage cache (main.py:269-283)
         def stem_path(suffix):
             return os.path.join(song_dir, f"{base}_{suffix}.wav")
 
-        cached = all(
+        cached = base is not None and all(
             os.path.exists(stem_path(s))
             for s in ("Instrumental", "Vocals_Main_DeReverb", "Vocals_Backup")
         )
+        if song_path is None and not (cached and not keep_files):
+            display_progress("[~] Downloading song...", 0.05, progress)
+            song_path = yt_download(song_input.split("&")[0])
+            base = os.path.splitext(os.path.basename(song_path))[0]
+            cached = all(
+                os.path.exists(stem_path(s))
+                for s in ("Instrumental", "Vocals_Main_DeReverb", "Vocals_Backup")
+            )
         if cached and not keep_files:
             from ..io.audio import read_wav
 
@@ -203,15 +242,17 @@ class CoverPipeline:
             dereverb, _ = read_wav(stem_path("Vocals_Main_DeReverb"))
             backup, _ = read_wav(stem_path("Vocals_Backup"))
         else:
-            wave, sr = load_audio(song_path, sr=None, mono=False)
-            if sr != SR_MDX:
-                wave = resample_poly_np(wave.astype(np.float32), sr, SR_MDX)
-            orig = to_stereo(wave).astype(np.float32)
-            write_wav(os.path.join(song_dir, f"{base}.wav"), orig, SR_MDX)
-            stems = self.separate_song(song_dir, base, orig, progress)
+            with metrics.stage("decode"):
+                wave, sr = load_audio(song_path, sr=None, mono=False)
+                if sr != SR_MDX:
+                    wave = resample_poly_np(wave.astype(np.float32), sr, SR_MDX)
+                orig = to_stereo(wave).astype(np.float32)
+                write_wav(os.path.join(song_dir, f"{base}.wav"), orig, SR_MDX)
+            stems = self.separate_song(song_dir, base, orig, progress, metrics=metrics)
             instrumental = stems["Instrumental"]
             dereverb = stems["Vocals_Main_DeReverb"]
             backup = stems["Vocals_Backup"]
+        metrics.audio_seconds = instrumental.shape[-1] / SR_MDX
 
         # --- voice conversion (main.py:285-291)
         pitch_semitones = pitch_change * 12 + pitch_change_all
@@ -223,18 +264,23 @@ class CoverPipeline:
         ai_vocals_path = os.path.join(song_dir, ai_vocals_name)
         if not os.path.exists(ai_vocals_path):
             display_progress("[~] Converting voice using RVC...", 0.5, progress)
-            vc = build_voice_converter(self.store, voice_model, runtime=self.runtime)
+            with metrics.stage("vc/load"):
+                vc = build_voice_converter(self.store, voice_model, runtime=self.runtime)
             vocal_mono = dereverb.mean(axis=0).astype(np.float32)
             vocal_16k = resample_poly_np(vocal_mono, SR_MDX, 16000)
             converted, out_sr = vc.convert(
                 vocal_16k.astype(np.float64),
-                f0_up_key=int(pitch_semitones),
+                # float semitones: predict.py-style fractional pitch_change_all
+                # must not be truncated on the vocal path (reference
+                # predict.py:216-222 passes floats through)
+                f0_up_key=pitch_semitones,
                 f0_method=f0_method,
                 index_rate=index_rate,
                 filter_radius=filter_radius,
                 rms_mix_rate=rms_mix_rate,
                 protect=protect,
                 crepe_hop_length=crepe_hop_length,
+                metrics=metrics,
             )
             write_wav(ai_vocals_path, converted[None, :], out_sr)
             del vc
@@ -246,32 +292,35 @@ class CoverPipeline:
 
         # --- effects (main.py:293-294)
         display_progress("[~] Applying audio effects to Vocals...", 0.8, progress)
-        ai_vocals_mixed = add_audio_effects(
-            ai_vocals, ai_sr, reverb_rm_size, reverb_wet, reverb_dry, reverb_damping
-        )
+        with metrics.stage("effects"):
+            ai_vocals_mixed = add_audio_effects(
+                ai_vocals, ai_sr, reverb_rm_size, reverb_wet, reverb_dry, reverb_damping
+            )
         mixed_path = os.path.splitext(ai_vocals_path)[0] + "_mixed.wav"
         write_wav(mixed_path, ai_vocals_mixed, ai_sr)
 
         # --- global pitch shift (main.py:296-299)
         if pitch_change_all != 0:
             display_progress("[~] Applying overall pitch change", 0.85, progress)
-            instrumental = pitch_shift_all(instrumental, SR_MDX, pitch_change_all)
-            backup = pitch_shift_all(backup, SR_MDX, pitch_change_all)
+            with metrics.stage("pitch_shift_all"):
+                instrumental = pitch_shift_all(instrumental, SR_MDX, pitch_change_all)
+                backup = pitch_shift_all(backup, SR_MDX, pitch_change_all)
 
         # --- mixdown (main.py:301-302): align rates to 44.1k
         display_progress("[~] Combining AI Vocals and Instrumentals...", 0.9, progress)
-        if ai_sr != SR_MDX:
-            ai_vocals_mixed = resample_poly_np(ai_vocals_mixed, ai_sr, SR_MDX)
-        mix = combine_audio(
-            to_stereo(ai_vocals_mixed),
-            to_stereo(backup),
-            to_stereo(instrumental),
-            main_gain,
-            backup_gain,
-            inst_gain,
-        )
-        cover_path = os.path.join(song_dir, f"{base} ({voice_model} Ver).{output_format}")
-        cover_path = save_audio(cover_path, mix, SR_MDX, output_format)
+        with metrics.stage("mixdown"):
+            if ai_sr != SR_MDX:
+                ai_vocals_mixed = resample_poly_np(ai_vocals_mixed, ai_sr, SR_MDX)
+            mix = combine_audio(
+                to_stereo(ai_vocals_mixed),
+                to_stereo(backup),
+                to_stereo(instrumental),
+                main_gain,
+                backup_gain,
+                inst_gain,
+            )
+            cover_path = os.path.join(song_dir, f"{base} ({voice_model} Ver).{output_format}")
+            cover_path = save_audio(cover_path, mix, SR_MDX, output_format)
 
         if not keep_files:
             display_progress("[~] Removing intermediate audio files...", 0.95, progress)

@@ -155,10 +155,12 @@ class F0Estimator:
         rmvpe_params: Optional[dict] = None,
         crepe_params: Optional[dict] = None,
         crepe_tiny_params: Optional[dict] = None,
+        compute_dtype=None,
     ):
         self._rmvpe = None
         self._rmvpe_params = rmvpe_params
         self._crepe = {"full": crepe_params, "tiny": crepe_tiny_params}
+        self._compute_dtype = compute_dtype
 
     def _get_rmvpe(self):
         if self._rmvpe is None:
@@ -166,7 +168,7 @@ class F0Estimator:
                 raise RuntimeError("rmvpe weights not loaded (rvc_models/rmvpe.pt)")
             from ..models.rmvpe import RMVPE
 
-            self._rmvpe = RMVPE(self._rmvpe_params)
+            self._rmvpe = RMVPE(self._rmvpe_params, dtype=self._compute_dtype)
         return self._rmvpe
 
     def _crepe_f0(
@@ -254,7 +256,7 @@ def get_f0(
     estimator: F0Estimator,
     x: np.ndarray,
     p_len: int,
-    f0_up_key: int,
+    f0_up_key: float,
     method: str,
     filter_radius: int = 3,
     crepe_hop_length: int = 128,

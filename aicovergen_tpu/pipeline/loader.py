@@ -105,11 +105,26 @@ def build_voice_converter(
     if index_path and os.path.exists(index_path):
         retriever = Retriever(read_faiss_index(index_path), exact=exact_search)
 
+    runtime = runtime or default_config()
+    if runtime.use_bf16:
+        # bf16 on the MXU, like the reference's fp16-on-CUDA default
+        # (src/rvc.py:29-75); norm stats / softmax / f0 phase stay fp32
+        # inside the ops (models/layers.py), and the rmvpe BiGRU + decode
+        # keep fp32 for pitch accuracy.
+        from ..utils.precision import cast_floats
+
+        dtype = runtime.compute_dtype
+        synth_params = cast_floats(synth_params, dtype)
+        hubert_params = cast_floats(hubert_params, dtype)
+
     return VoiceConverter(
         synth_params=synth_params,
         synth_cfg=synth_cfg,
         hubert_params=hubert_params,
-        f0_estimator=F0Estimator(rmvpe_params=rmvpe_params),
+        f0_estimator=F0Estimator(
+            rmvpe_params=rmvpe_params,
+            compute_dtype=runtime.compute_dtype if runtime.use_bf16 else None,
+        ),
         retriever=retriever,
-        runtime=runtime or default_config(),
+        runtime=runtime,
     )

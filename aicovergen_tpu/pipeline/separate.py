@@ -115,6 +115,7 @@ def make_chunk_runner(
     params: MDXParams,
     batch_size: int = 8,
     shard: Optional[Callable[[jnp.ndarray], jnp.ndarray]] = None,
+    compute_dtype=None,
 ):
     """Build a jitted (batch, 2, chunk)->(batch, 2, chunk) stage:
     STFT -> model -> iSTFT fused into one XLA program.
@@ -122,22 +123,36 @@ def make_chunk_runner(
     `shard` optionally places the batch across a device mesh
     (see parallel.mesh.shard_batch).  If model_fn is an OnnxExecutor its
     weights are passed as jit arguments (never baked into the HLO).
+
+    `compute_dtype` (e.g. bf16) applies to the conv net only: the STFT/iSTFT
+    pair stays fp32 (XLA FFTs are fp32) and the net's in/out spectrograms are
+    cast at the boundary — the reference's fp16 ORT session played the same
+    role (src/mdx.py:74-77).
     """
     window = hann_window(params.n_fft)  # concrete numpy; constant under jit
     weights = getattr(model_fn, "weights", None)
     if weights is not None:
+        if compute_dtype is not None:
+            from ..utils.precision import cast_floats
+
+            weights = cast_floats(weights, compute_dtype)
         weights = jax.device_put(weights)
+
+    def net(call, spec):
+        if compute_dtype is None:
+            return call(spec)
+        return call(spec.astype(compute_dtype)).astype(jnp.float32)
 
     @jax.jit
     def run_batch_w(w, x: jnp.ndarray) -> jnp.ndarray:
         spec = spec_pack(x, params.n_fft, params.hop, window, params.dim_f)
-        out = model_fn.apply(w, spec)
+        out = net(lambda s: model_fn.apply(w, s), spec)
         return spec_unpack(out, params.n_fft, params.hop, window, params.chunk_size)
 
     @jax.jit
     def run_batch_plain(x: jnp.ndarray) -> jnp.ndarray:
         spec = spec_pack(x, params.n_fft, params.hop, window, params.dim_f)
-        out = model_fn(spec)
+        out = net(model_fn, spec)
         return spec_unpack(out, params.n_fft, params.hop, window, params.chunk_size)
 
     def run_batch(x):
@@ -175,6 +190,7 @@ def separate(
     denoise: bool = True,
     batch_size: int = 8,
     shard=None,
+    compute_dtype=None,
 ) -> tuple[np.ndarray, np.ndarray]:
     """Full separation of (2, n) float audio.
 
@@ -185,7 +201,9 @@ def separate(
     peak = max(float(wave.max()), abs(float(wave.min()))) or 1.0
     norm = wave / peak
     chunks, _pad = chunk_wave(norm, params)
-    runner = make_chunk_runner(model_fn, params, batch_size=batch_size, shard=shard)
+    runner = make_chunk_runner(
+        model_fn, params, batch_size=batch_size, shard=shard, compute_dtype=compute_dtype
+    )
     out_chunks = runner(chunks, denoise=denoise)
     primary = join_chunks(out_chunks, params, wave.shape[1]) * peak
     complement = -primary * params.compensation + wave

@@ -37,6 +37,8 @@ from ..ops.filters import butter_highpass, zero_phase_fft
 from ..ops.resample import resample
 from ..retrieval.knn import Retriever
 from ..utils.config import RuntimeConfig
+from ..utils.metrics import Metrics
+from ..utils.precision import tree_dtype
 from .f0 import WINDOW, F0Estimator, get_f0
 
 SR = 16000
@@ -63,8 +65,12 @@ def find_split_points(audio: np.ndarray, cfg: RuntimeConfig) -> List[int]:
 
 @partial(jax.jit, static_argnames=("version",))
 def _features_stage(hubert_params, audio_seg, valid_samples, version: str):
-    """(1, L) padded audio -> (1, F, C) HuBERT features (padding-masked)."""
-    return hubert_features(hubert_params, audio_seg, version=version, valid_samples=valid_samples)
+    """(S, L) padded audio batch -> (S, F, C) HuBERT features (padding-masked).
+    Audio is cast to the parameters' compute dtype (bf16 when enabled)."""
+    dtype = tree_dtype(hubert_params)
+    return hubert_features(
+        hubert_params, audio_seg.astype(dtype), version=version, valid_samples=valid_samples
+    )
 
 
 @partial(jax.jit, static_argnames=("cfg", "use_f0"))
@@ -81,11 +87,13 @@ def _synth_stage(
     use_f0: bool,
     rng,
 ):
-    """Protect blend + .infer (reference vc_infer_pipeline.py:433-465)."""
-    feats = jnp.repeat(feats, 2, axis=1)  # 2x nearest time upsample (:433)
+    """Protect blend + .infer (reference vc_infer_pipeline.py:433-465).
+    All inputs carry a leading segment-batch axis S; returns (S, T_out) fp32."""
+    dtype = tree_dtype(synth_params)
+    feats = jnp.repeat(feats.astype(dtype), 2, axis=1)  # 2x nearest time upsample (:433)
     if use_f0:
-        feats0 = jnp.repeat(feats0, 2, axis=1)
-        pitchff = jnp.where(pitchf < 1.0, protect, 1.0)[:, :, None]
+        feats0 = jnp.repeat(feats0.astype(dtype), 2, axis=1)
+        pitchff = jnp.where(pitchf < 1.0, protect, 1.0)[:, :, None].astype(dtype)
         protected = feats * pitchff + feats0 * (1.0 - pitchff)
         feats = jnp.where(protect < 0.5, protected, feats)
     audio = synthesizer_infer(
@@ -98,7 +106,7 @@ def _synth_stage(
         sid,
         rng=rng,
     )
-    return audio[0, 0]
+    return audio[:, 0].astype(jnp.float32)
 
 
 @dataclass
@@ -123,68 +131,99 @@ class VoiceConverter:
         b = self.runtime.bucket_samples
         return int(math.ceil(n / b) * b)
 
-    def _convert_segment(
+    @staticmethod
+    def _batch_rows(n_rows: int) -> int:
+        """Pad the segment count to a power of two so the jit cache sees a
+        handful of batch shapes instead of one per song length."""
+        return 1 << max(0, (n_rows - 1).bit_length())
+
+    def _convert_segments(
         self,
-        seg: np.ndarray,
-        pitch: Optional[np.ndarray],
-        pitchf: Optional[np.ndarray],
+        segs: List[np.ndarray],
+        pitches: List[Optional[np.ndarray]],
+        pitchfs: List[Optional[np.ndarray]],
         sid: int,
         index_rate: float,
         protect: float,
         rng,
-    ) -> np.ndarray:
-        """One padded span -> converted audio (full span, untrimmed)."""
-        n = seg.shape[0]
-        nb = self._bucket_len(n)
-        seg_p = np.zeros(nb, np.float32)
-        seg_p[:n] = seg
-        valid = jnp.asarray([n])
+        metrics: Optional[Metrics] = None,
+    ) -> List[np.ndarray]:
+        """All padded spans of one song -> converted audio per span
+        (full spans, untrimmed).
 
-        feats = _features_stage(
-            self.hubert_params, jnp.asarray(seg_p)[None], valid, self.synth_cfg.version
-        )
+        The reference converts segments one at a time in a host loop
+        (vc_infer_pipeline.py:567-637); here they form one (S, bucket)
+        batch so HuBERT + retrieval + the synthesizer each run as a single
+        large device program (SURVEY §2.2: segments are a leading batch
+        dimension that parallel.mesh can shard)."""
+        n_true = [s.shape[0] for s in segs]
+        nb = self._bucket_len(max(n_true))
+        rows = self._batch_rows(len(segs))
+        batch = np.zeros((rows, nb), np.float32)
+        valid = np.empty((rows,), np.int64)
+        valid[:] = n_true[0]  # filler rows reuse segment 0's length (masked out)
+        for i, s in enumerate(segs):
+            batch[i, : s.shape[0]] = s
+            valid[i] = s.shape[0]
+
+        metrics = metrics or Metrics()
+        with metrics.stage("vc/hubert"):
+            feats = _features_stage(
+                self.hubert_params, jnp.asarray(batch), jnp.asarray(valid), self.synth_cfg.version
+            )
+            feats.block_until_ready()
         feats0 = feats
         if self.retriever is not None and index_rate > 0:
-            blended = self.retriever.blend(feats[0], index_rate)[None]
-            feats = blended
+            with metrics.stage("vc/retrieval"):
+                s_, f_, c_ = feats.shape
+                feats = self.retriever.blend(feats.reshape(s_ * f_, c_), index_rate).reshape(
+                    s_, f_, c_
+                )
 
         # true usable frames: the reference's p_len = min(samples//window,
         # 2*hubert_frames) (vc_infer_pipeline.py:439-444) — computed from the
         # unpadded length, not the bucket
-        p_len_true = min(n // WINDOW, conv_output_frames(n) * 2)
+        p_len_true = [min(n // WINDOW, conv_output_frames(n) * 2) for n in n_true]
         p_len_pad = feats.shape[1] * 2
         use_f0 = self.synth_cfg.if_f0
         if use_f0:
-            pitch_p = np.zeros(p_len_pad, np.int64)
-            pitchf_p = np.zeros(p_len_pad, np.float32)
-            m = min(p_len_true, len(pitch))
-            pitch_p[:m] = pitch[:m]
-            pitchf_p[:m] = pitchf[:m]
-            pitch_j = jnp.asarray(pitch_p)[None]
-            pitchf_j = jnp.asarray(pitchf_p)[None]
+            pitch_p = np.zeros((rows, p_len_pad), np.int64)
+            pitchf_p = np.zeros((rows, p_len_pad), np.float32)
+            for i, (pl, pc, pf) in enumerate(zip(p_len_true, pitches, pitchfs)):
+                m = min(pl, len(pc))
+                pitch_p[i, :m] = pc[:m]
+                pitchf_p[i, :m] = pf[:m]
+            pitch_j = jnp.asarray(pitch_p)
+            pitchf_j = jnp.asarray(pitchf_p)
         else:
             pitch_j = pitchf_j = None
 
-        audio = _synth_stage(
-            self.synth_params,
-            feats,
-            feats0,
-            jnp.asarray([p_len_true]),
-            pitch_j,
-            pitchf_j,
-            jnp.asarray([sid]),
-            jnp.asarray(protect, jnp.float32),
-            self.synth_cfg,
-            use_f0,
-            rng,
-        )
-        out_true = p_len_true * self.synth_cfg.upp
-        return np.asarray(audio[:out_true], np.float32)
+        p_len_arr = np.empty((rows,), np.int64)
+        p_len_arr[:] = p_len_true[0]
+        p_len_arr[: len(segs)] = p_len_true
+
+        with metrics.stage("vc/synth"):
+            audio = _synth_stage(
+                self.synth_params,
+                feats,
+                feats0,
+                jnp.asarray(p_len_arr),
+                pitch_j,
+                pitchf_j,
+                jnp.full((rows,), sid, np.int64),
+                jnp.asarray(protect, jnp.float32),
+                self.synth_cfg,
+                use_f0,
+                rng,
+            )
+            audio = np.asarray(audio, np.float32)
+        upp = self.synth_cfg.upp
+        return [audio[i, : p_len_true[i] * upp] for i in range(len(segs))]
 
     def convert(
         self,
         audio: np.ndarray,
-        f0_up_key: int = 0,
+        f0_up_key: float = 0,
         f0_method: str = "rmvpe",
         index_rate: float = 0.5,
         filter_radius: int = 3,
@@ -195,11 +234,13 @@ class VoiceConverter:
         sid: int = 0,
         inp_f0: Optional[np.ndarray] = None,
         seed: int = 0,
+        metrics: Optional[Metrics] = None,
     ) -> Tuple[np.ndarray, int]:
         """16 kHz mono float audio -> (int16 audio, output sr).
 
         Mirrors VC.pipeline (reference vc_infer_pipeline.py:474-653).
         """
+        metrics = metrics or Metrics()
         rt = self.runtime
         t_pad = SR * rt.x_pad
         t_pad_tgt = self.tgt_sr * rt.x_pad
@@ -216,17 +257,18 @@ class VoiceConverter:
 
         pitch = pitchf = None
         if self.synth_cfg.if_f0:
-            coarse, f0bak = get_f0(
-                self.f0_estimator,
-                audio_pad,
-                p_len,
-                f0_up_key,
-                f0_method,
-                filter_radius,
-                crepe_hop_length,
-                inp_f0,
-                x_pad=rt.x_pad,
-            )
+            with metrics.stage("vc/f0"):
+                coarse, f0bak = get_f0(
+                    self.f0_estimator,
+                    audio_pad,
+                    p_len,
+                    f0_up_key,
+                    f0_method,
+                    filter_radius,
+                    crepe_hop_length,
+                    inp_f0,
+                    x_pad=rt.x_pad,
+                )
             pitch = coarse[:p_len]
             pitchf = f0bak[:p_len].astype(np.float32)
 
@@ -239,32 +281,33 @@ class VoiceConverter:
             s = t
         spans.append((s, audio_pad.shape[0]))
 
-        out_parts = []
-        for i, (a, b) in enumerate(spans):
-            rng, sub = jax.random.split(rng)
-            seg = audio_pad[a:b].astype(np.float32)
-            seg_pitch = pitch[a // WINDOW : b // WINDOW] if pitch is not None else None
-            seg_pitchf = pitchf[a // WINDOW : b // WINDOW] if pitchf is not None else None
-            converted = self._convert_segment(
-                seg, seg_pitch, seg_pitchf, sid, index_rate, protect, sub
-            )
-            out_parts.append(converted[t_pad_tgt:-t_pad_tgt])
-        audio_opt = np.concatenate(out_parts)
+        segs = [audio_pad[a:b].astype(np.float32) for a, b in spans]
+        seg_pitch = [
+            pitch[a // WINDOW : b // WINDOW] if pitch is not None else None for a, b in spans
+        ]
+        seg_pitchf = [
+            pitchf[a // WINDOW : b // WINDOW] if pitchf is not None else None for a, b in spans
+        ]
+        converted = self._convert_segments(
+            segs, seg_pitch, seg_pitchf, sid, index_rate, protect, rng, metrics=metrics
+        )
+        audio_opt = np.concatenate([c[t_pad_tgt:-t_pad_tgt] for c in converted])
 
-        if rms_mix_rate != 1:
-            audio_opt = np.asarray(
-                mix_rms_envelope(
-                    jnp.asarray(audio.astype(np.float32)),
-                    SR,
-                    jnp.asarray(audio_opt),
-                    self.tgt_sr,
-                    rms_mix_rate,
+        with metrics.stage("vc/post"):
+            if rms_mix_rate != 1:
+                audio_opt = np.asarray(
+                    mix_rms_envelope(
+                        jnp.asarray(audio.astype(np.float32)),
+                        SR,
+                        jnp.asarray(audio_opt),
+                        self.tgt_sr,
+                        rms_mix_rate,
+                    )
                 )
-            )
-        out_sr = self.tgt_sr
-        if resample_sr >= SR and self.tgt_sr != resample_sr:
-            audio_opt = np.asarray(resample(jnp.asarray(audio_opt), self.tgt_sr, resample_sr))
-            out_sr = resample_sr
+            out_sr = self.tgt_sr
+            if resample_sr >= SR and self.tgt_sr != resample_sr:
+                audio_opt = np.asarray(resample(jnp.asarray(audio_opt), self.tgt_sr, resample_sr))
+                out_sr = resample_sr
 
         # int16 normalization (vc_infer_pipeline.py:645-649)
         audio_max = np.abs(audio_opt).max() / 0.99

@@ -21,6 +21,9 @@ from aicovergen_tpu.io.audio import write_wav
 from aicovergen_tpu.pipeline.cover import CoverPipeline
 from aicovergen_tpu.utils.config import RuntimeConfig
 
+
+pytestmark = pytest.mark.slow
+
 SR = 44100
 
 

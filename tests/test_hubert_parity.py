@@ -1,6 +1,7 @@
 """HuBERT encoder parity vs a transformers HubertModel golden fixture."""
 
 import numpy as np
+import pytest
 
 import jax.numpy as jnp
 
@@ -8,6 +9,9 @@ from conftest import load_fixture
 from aicovergen_tpu.convert.hubert_convert import transformers_state_to_tree
 from aicovergen_tpu.models.hubert import hubert_extract
 
+
+
+pytestmark = pytest.mark.slow
 
 def _params(fx):
     state = {k[3:]: fx[k] for k in fx.files if k.startswith("sd:")}

@@ -12,6 +12,9 @@ from aicovergen_tpu.parallel.mesh import make_chunk_sharder, make_mesh, shard_ba
 from aicovergen_tpu.parallel.train import make_synthetic_batch, make_train_step
 from aicovergen_tpu.pipeline.separate import MDXParams, separate
 
+
+pytestmark = pytest.mark.slow
+
 TINY_CFG = RVCConfig(
     spec_channels=33,
     segment_size=16,

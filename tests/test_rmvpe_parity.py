@@ -1,6 +1,7 @@
 """RMVPE parity vs reference golden fixtures (E2E net + cents decode)."""
 
 import numpy as np
+import pytest
 
 import jax.numpy as jnp
 
@@ -8,6 +9,9 @@ from conftest import load_fixture
 from aicovergen_tpu.convert.torch_reader import nest
 from aicovergen_tpu.models.rmvpe import RMVPE, decode_cents, e2e_forward
 
+
+
+pytestmark = pytest.mark.slow
 
 def test_e2e_parity():
     fx = load_fixture("rmvpe_e2e.npz")

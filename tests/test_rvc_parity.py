@@ -15,6 +15,9 @@ from aicovergen_tpu.convert.torch_reader import fold_weight_norm, nest
 from aicovergen_tpu.models.rvc import RVCConfig, synthesizer_infer, text_encoder
 
 
+
+pytestmark = pytest.mark.slow
+
 def _params_from_fixture(fx):
     flat = {k[3:]: fx[k] for k in fx.files if k.startswith("sd:")}
     flat = {k: v for k, v in flat.items() if not k.startswith("enc_q.")}

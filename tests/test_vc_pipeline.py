@@ -15,6 +15,9 @@ from aicovergen_tpu.pipeline.vc import SR, VoiceConverter, find_split_points
 from aicovergen_tpu.utils.config import RuntimeConfig
 
 
+
+pytestmark = pytest.mark.slow
+
 def _hubert_params():
     fx = load_fixture("hubert_base.npz")
     return transformers_state_to_tree({k[3:]: fx[k] for k in fx.files if k.startswith("sd:")})

@@ -14,6 +14,9 @@ from aicovergen_tpu.api import webui
 from aicovergen_tpu.io.assets import AssetStore
 
 
+
+pytestmark = pytest.mark.slow
+
 @pytest.fixture()
 def server(tmp_path):
     base = str(tmp_path)
