@@ -71,7 +71,11 @@ def main(argv=None) -> int:
             f"The folder {os.path.join(store.rvc_models_dir, args.rvc_dirname)} does not exist."
         )
 
-    pipeline = CoverPipeline(store)
+    from ..parallel.mesh import serving_mesh
+    from ..utils.config import default_config
+
+    runtime = default_config()
+    pipeline = CoverPipeline(store, runtime=runtime, mesh=serving_mesh(runtime.num_devices))
     cover_path = pipeline.song_cover(
         args.song_input,
         args.rvc_dirname,

@@ -23,6 +23,13 @@ OUTPUT_FORMATS = ("mp3", "wav")
 
 
 @dataclass
+
+def _serving_mesh():
+    from ..parallel.mesh import serving_mesh
+    from ..utils.config import default_config
+
+    return serving_mesh(default_config().num_devices)
+
 class Predictor:
     base_dir: Optional[str] = None
 
@@ -30,7 +37,7 @@ class Predictor:
         self.store = AssetStore(self.base_dir or default_base_dir())
         from ..pipeline.cover import CoverPipeline
 
-        self.pipeline = CoverPipeline(self.store, runtime=default_config())
+        self.pipeline = CoverPipeline(self.store, runtime=default_config(), mesh=_serving_mesh())
 
     def predict(
         self,

@@ -40,10 +40,17 @@ _JOBS: Dict[str, dict] = {}
 _JOB_QUEUE: "queue.Queue[tuple]" = queue.Queue()
 
 
+
+def _serving_mesh():
+    from ..parallel.mesh import serving_mesh
+    from ..utils.config import default_config
+
+    return serving_mesh(default_config().num_devices)
+
 def _worker(store: AssetStore):
     from ..pipeline.cover import CoverPipeline
 
-    pipeline = CoverPipeline(store, runtime=default_config())
+    pipeline = CoverPipeline(store, runtime=default_config(), mesh=_serving_mesh())
     while True:
         job_id, params = _JOB_QUEUE.get()
         job = _JOBS[job_id]

@@ -164,10 +164,12 @@ def download_main() -> None:
 
 def load_public_models_index(base_dir: Optional[str] = None) -> dict:
     """The public voice-model catalog (reference rvc_models/public_models.json
-    drives the WebUI download tab, webui.py:30-38).  Users supply their own
-    copy; absent file yields an empty catalog."""
+    drives the WebUI download tab, webui.py:30-38).  A user copy in
+    rvc_models/ overrides the 56-entry catalog shipped as package data."""
     store = AssetStore(base_dir or default_base_dir())
     path = os.path.join(store.rvc_models_dir, "public_models.json")
+    if not os.path.exists(path):
+        path = os.path.join(os.path.dirname(os.path.dirname(__file__)), "data", "public_models.json")
     if not os.path.exists(path):
         return {"voice_models": [], "tags": {}}
     with open(path, encoding="utf-8") as f:

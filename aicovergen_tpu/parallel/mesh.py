@@ -68,6 +68,18 @@ def pad_to_multiple(x: np.ndarray, multiple: int, axis: int = 0):
     return np.pad(x, widths), n
 
 
+def serving_mesh(num_devices: Optional[int] = None) -> Optional[Mesh]:
+    """Pure data-parallel mesh for the serving path: all (or num_devices)
+    visible devices on the "data" axis, or None on a single device.  Entry
+    points call this so multi-chip hosts shard MDX chunk batches and VC
+    segment batches automatically (SURVEY §2.2)."""
+    n = len(jax.devices())
+    want = min(num_devices or n, n)
+    if want <= 1:
+        return None
+    return make_mesh(want)
+
+
 def make_chunk_sharder(mesh: Optional[Mesh]):
     """Sharding hook for pipeline.separate.make_chunk_runner: places each
     chunk batch across the "data" axis."""

@@ -91,9 +91,24 @@ class CoverPipeline:
     store: AssetStore
     runtime: RuntimeConfig = field(default_factory=default_config)
     mdx_batch_size: int = 8
-    # optional parallel.mesh.make_chunk_sharder(mesh) hook: places MDX chunk
-    # batches across the "data" mesh axis (see parallel/mesh.py)
+    # device mesh for data-parallel serving (parallel.mesh.serving_mesh):
+    # MDX chunk batches and VC segment batches shard over its "data" axis
+    mesh: Optional[object] = None
+    # explicit sharder hook; derived from `mesh` when unset
     shard: Optional[object] = None
+
+    def __post_init__(self):
+        if self.mesh is not None and self.shard is None:
+            from ..parallel.mesh import make_chunk_sharder
+
+            self.shard = make_chunk_sharder(self.mesh)
+            # MDX batches must split evenly over "data"
+            width = self.mesh.shape["data"]
+            self.mdx_batch_size = max(self.mdx_batch_size, width)
+
+    @property
+    def _data_parallel(self) -> int:
+        return self.mesh.shape["data"] if self.mesh is not None else 1
 
     # ----------------------------------------------------------------- MDX
     def _load_mdx(self, filename: str):
@@ -265,7 +280,13 @@ class CoverPipeline:
         if not os.path.exists(ai_vocals_path):
             display_progress("[~] Converting voice using RVC...", 0.5, progress)
             with metrics.stage("vc/load"):
-                vc = build_voice_converter(self.store, voice_model, runtime=self.runtime)
+                vc = build_voice_converter(
+                    self.store,
+                    voice_model,
+                    runtime=self.runtime,
+                    shard=self.shard,
+                    data_parallel=self._data_parallel,
+                )
             vocal_mono = dereverb.mean(axis=0).astype(np.float32)
             vocal_16k = resample_poly_np(vocal_mono, SR_MDX, 16000)
             converted, out_sr = vc.convert(

@@ -86,6 +86,8 @@ def build_voice_converter(
     voice_model: str,
     runtime: Optional[RuntimeConfig] = None,
     exact_search: bool = True,
+    shard=None,
+    data_parallel: int = 1,
 ) -> VoiceConverter:
     pth_path, index_path = store.rvc_model_paths(voice_model)
     synth_params, synth_cfg = load_rvc_params(pth_path)
@@ -127,4 +129,6 @@ def build_voice_converter(
         ),
         retriever=retriever,
         runtime=runtime,
+        shard=shard,
+        data_parallel=data_parallel,
     )

@@ -88,7 +88,11 @@ def _synth_stage(
     rng,
 ):
     """Protect blend + .infer (reference vc_infer_pipeline.py:433-465).
-    All inputs carry a leading segment-batch axis S; returns (S, T_out) fp32."""
+    All inputs carry a leading segment-batch axis S; returns (S, T_out) fp32.
+
+    Noise is drawn per row from fold_in(rng, row): row i's draw is identical
+    no matter how many filler rows pad the batch, so sharded / unsharded /
+    re-bucketed runs produce bit-identical segments."""
     dtype = tree_dtype(synth_params)
     feats = jnp.repeat(feats.astype(dtype), 2, axis=1)  # 2x nearest time upsample (:433)
     if use_f0:
@@ -96,6 +100,17 @@ def _synth_stage(
         pitchff = jnp.where(pitchf < 1.0, protect, 1.0)[:, :, None].astype(dtype)
         protected = feats * pitchff + feats0 * (1.0 - pitchff)
         feats = jnp.where(protect < 0.5, protected, feats)
+
+    rows, t2 = feats.shape[0], feats.shape[1]
+
+    def row_noise(i):
+        k1, k2 = jax.random.split(jax.random.fold_in(rng, i))
+        return (
+            jax.random.normal(k1, (cfg.inter_channels, t2), dtype),
+            jax.random.normal(k2, (t2 * cfg.upp, 1), jnp.float32),
+        )
+
+    zp_noise, sine_noise = jax.vmap(row_noise)(jnp.arange(rows))
     audio = synthesizer_infer(
         synth_params,
         cfg,
@@ -104,7 +119,8 @@ def _synth_stage(
         pitch if use_f0 else None,
         pitchf if use_f0 else None,
         sid,
-        rng=rng,
+        zp_noise=zp_noise,
+        sine_noise=sine_noise,
     )
     return audio[:, 0].astype(jnp.float32)
 
@@ -119,6 +135,11 @@ class VoiceConverter:
     f0_estimator: F0Estimator
     retriever: Optional[Retriever] = None
     runtime: RuntimeConfig = RuntimeConfig()
+    # data-parallel hooks (parallel.mesh.make_chunk_sharder): places the
+    # segment batch across the mesh "data" axis; data_parallel is the axis
+    # width so the batch pads to a shardable row count
+    shard: Optional[object] = None
+    data_parallel: int = 1
 
     def __post_init__(self):
         self._hp_b, self._hp_a = butter_highpass(5, 48, SR)
@@ -131,11 +152,14 @@ class VoiceConverter:
         b = self.runtime.bucket_samples
         return int(math.ceil(n / b) * b)
 
-    @staticmethod
-    def _batch_rows(n_rows: int) -> int:
+    def _batch_rows(self, n_rows: int) -> int:
         """Pad the segment count to a power of two so the jit cache sees a
-        handful of batch shapes instead of one per song length."""
-        return 1 << max(0, (n_rows - 1).bit_length())
+        handful of batch shapes instead of one per song length; under data
+        parallelism the rows must also divide evenly across the mesh."""
+        rows = 1 << max(0, (n_rows - 1).bit_length())
+        if self.data_parallel > 1:
+            rows = int(np.lcm(rows, self.data_parallel))
+        return rows
 
     def _convert_segments(
         self,
@@ -167,9 +191,14 @@ class VoiceConverter:
             valid[i] = s.shape[0]
 
         metrics = metrics or Metrics()
+        batch_j = jnp.asarray(batch)
+        valid_j = jnp.asarray(valid)
+        if self.shard is not None:
+            batch_j = self.shard(batch_j)
+            valid_j = self.shard(valid_j)
         with metrics.stage("vc/hubert"):
             feats = _features_stage(
-                self.hubert_params, jnp.asarray(batch), jnp.asarray(valid), self.synth_cfg.version
+                self.hubert_params, batch_j, valid_j, self.synth_cfg.version
             )
             feats.block_until_ready()
         feats0 = feats
@@ -195,6 +224,9 @@ class VoiceConverter:
                 pitchf_p[i, :m] = pf[:m]
             pitch_j = jnp.asarray(pitch_p)
             pitchf_j = jnp.asarray(pitchf_p)
+            if self.shard is not None:
+                pitch_j = self.shard(pitch_j)
+                pitchf_j = self.shard(pitchf_j)
         else:
             pitch_j = pitchf_j = None
 
@@ -210,7 +242,7 @@ class VoiceConverter:
                 jnp.asarray(p_len_arr),
                 pitch_j,
                 pitchf_j,
-                jnp.full((rows,), sid, np.int64),
+                jnp.asarray(np.full((rows,), sid, np.int32)),
                 jnp.asarray(protect, jnp.float32),
                 self.synth_cfg,
                 use_f0,

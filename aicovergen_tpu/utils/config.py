@@ -55,4 +55,5 @@ def default_config() -> RuntimeConfig:
         x_max=int(env("AICG_X_MAX", 65)),
         use_bf16=env("AICG_TPU_BF16", "1") != "0",
         bucket_samples=int(env("AICG_BUCKET", 16000)),
+        num_devices=int(env("AICG_NUM_DEVICES", 0)) or None,
     )

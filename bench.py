@@ -1,22 +1,30 @@
-"""Benchmark: voice-conversion real-time factor on one chip.
+"""Benchmark: end-to-end AI-cover pipeline real-time factor on one chip.
 
-Runs the flagship path — HuBERT-base features + rmvpe f0 + RVC v2 (40k)
-synthesis — on 30 s of 16 kHz audio with real architectures (random/fixture
-weights; numerics are identical to trained weights for throughput purposes)
-and reports audio-seconds processed per wall-second after a warmup pass.
+Measures the complete product path (BASELINE config-2/4 shape) on a 4-minute
+synthetic song: 3-stage MDX separation with conv-TDF U-Nets at the real UVR
+checkpoint dimensions (Voc_FT-class: dim_f 3072, dim_t 256, n_fft 7680, via
+the ONNX frontend + fused STFT->net->iSTFT chunk batching), RVC voice
+conversion (HuBERT-base + RMVPE f0 + v2 synthesizer, batched bucketed
+segments, bf16 compute), effects (Freeverb/compressor/high-pass) and the
+gain-staged mixdown.  Weights are synthetic (fixture/random) — numerics are
+identical to trained weights for throughput purposes.
 
 Baseline: the reference publishes no numbers; its qualitative statement is
 "less than a few minutes" for a full ~4-minute cover on a consumer GPU
-(reference README.md:152), i.e. roughly 2x realtime for the whole pipeline.
-We use RTF=2.0 as the vs_baseline denominator.
+(reference README.md:152), i.e. roughly 2x realtime end-to-end.  We use
+RTF=2.0 as the vs_baseline denominator.  (The BASELINE.md north star is a
+4-minute cover < 15 s on a v4-8, i.e. RTF 16 across 8 chips.)
 
-Output: ONE JSON line {"metric", "value", "unit", "vs_baseline"}.
+Output: ONE JSON line {"metric", "value", "unit", "vs_baseline", "stages"}.
+Env knobs: AICG_BENCH=cover|vc (default cover), AICG_BENCH_REPS,
+AICG_BENCH_SECONDS, AICG_TPU_BF16=0 for fp32, AICG_PROFILE=<dir> for traces.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import sys
 import time
 
@@ -24,23 +32,224 @@ import numpy as np
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 FIXTURES = os.path.join(REPO, "tests", "fixtures")
+BENCH_ASSETS = os.path.join(REPO, ".bench_assets")
 
-AUDIO_SECONDS = 30
 BASELINE_RTF = 2.0
 
 
-def _load_tree(npz_path, drop_prefixes=()):
-    from aicovergen_tpu.convert.torch_reader import fold_weight_norm, nest
-
+def _load_flat(npz_path, drop_prefixes=()):
     data = np.load(npz_path)
     flat = {k[3:]: data[k] for k in data.files if k.startswith("sd:")}
-    flat = {
+    return {
         k: v
         for k, v in flat.items()
         if not any(k.startswith(p) for p in drop_prefixes)
         and not k.endswith("num_batches_tracked")
     }
-    return nest(fold_weight_norm(flat))
+
+
+def _build_assets() -> str:
+    """Assemble a persistent on-disk asset store: conv-TDF replica ONNX nets
+    at real UVR dims + fixture-weight voice/HuBERT/RMVPE checkpoints."""
+    from aicovergen_tpu.io.assets import AssetStore
+    from aicovergen_tpu.models.conv_tdf import ConvTDFSpec, build_conv_tdf_onnx
+
+    store = AssetStore(BENCH_ASSETS)
+    tiny = os.environ.get("AICG_BENCH_MDX_SCALE") == "tiny"  # CPU smoke mode
+    stamp = os.path.join(BENCH_ASSETS, ".complete_v2_tiny" if tiny else ".complete_v2")
+    if os.path.exists(stamp):
+        return BENCH_ASSETS
+    shutil.rmtree(BENCH_ASSETS, ignore_errors=True)
+    os.makedirs(store.mdx_models_dir, exist_ok=True)
+    os.makedirs(store.rvc_models_dir, exist_ok=True)
+
+    # 3 separation models at their registry dims (model_data.json classes)
+    if tiny:
+        mdx_specs = {
+            name: (
+                dict(dim_f=256, dim_t_log2=5, n_fft=1024, compensate=comp, primary_stem=stem),
+                ConvTDFSpec(dim_f=256, dim_t=32, g=4, n_scales=3, tfc=1),
+            )
+            for name, comp, stem in (
+                ("UVR-MDX-NET-Voc_FT.onnx", 1.021, "Vocals"),
+                ("UVR_MDXNET_KARA_2.onnx", 1.025, "Vocals"),
+                ("Reverb_HQ_By_FoxJoy.onnx", 1.0, "Reverb"),
+            )
+        }
+    else:
+        mdx_specs = {
+            "UVR-MDX-NET-Voc_FT.onnx": (
+                dict(dim_f=3072, dim_t_log2=8, n_fft=7680, compensate=1.021, primary_stem="Vocals"),
+                ConvTDFSpec(dim_f=3072, dim_t=256, g=32, n_scales=5, tfc=2),
+            ),
+            "UVR_MDXNET_KARA_2.onnx": (
+                dict(dim_f=2048, dim_t_log2=8, n_fft=5120, compensate=1.025, primary_stem="Vocals"),
+                ConvTDFSpec(dim_f=2048, dim_t=256, g=32, n_scales=5, tfc=2),
+            ),
+            "Reverb_HQ_By_FoxJoy.onnx": (
+                dict(dim_f=3072, dim_t_log2=9, n_fft=7680, compensate=1.0, primary_stem="Reverb"),
+                ConvTDFSpec(dim_f=3072, dim_t=512, g=32, n_scales=5, tfc=2),
+            ),
+        }
+    for i, (name, (meta, spec)) in enumerate(mdx_specs.items()):
+        path = store.mdx_model_path(name)
+        build_conv_tdf_onnx(path, spec, seed=i)
+        with open(os.path.splitext(path)[0] + ".json", "w") as f:
+            json.dump(meta, f)
+
+    import torch
+
+    synth = _load_flat(os.path.join(FIXTURES, "rvc_synth_v2f0.npz"))
+    cpt = {
+        "config": [1025, 32, 192, 192, 768, 2, 6, 3, 0, "1",
+                   [3, 7, 11], [[1, 3, 5], [1, 3, 5], [1, 3, 5]],
+                   [10, 10, 2, 2], 512, [16, 16, 4, 4], 109, 256, 40000],
+        "weight": {k: torch.from_numpy(v) for k, v in synth.items()},
+        "f0": 1,
+        "version": "v2",
+    }
+    voice_dir = os.path.join(store.rvc_models_dir, "BenchVoice")
+    os.makedirs(voice_dir, exist_ok=True)
+    torch.save(cpt, os.path.join(voice_dir, "BenchVoice.pth"))
+
+    torch.save(
+        {k: torch.from_numpy(v) for k, v in _load_flat(os.path.join(FIXTURES, "hubert_base.npz")).items()},
+        store.hubert_path(),
+    )
+    torch.save(
+        {k: torch.from_numpy(v) for k, v in _load_flat(os.path.join(FIXTURES, "rmvpe_e2e.npz")).items()},
+        store.rmvpe_path(),
+    )
+    with open(stamp, "w") as f:
+        f.write("ok")
+    return BENCH_ASSETS
+
+
+def _make_song(path: str, seconds: float, seed: int) -> None:
+    from aicovergen_tpu.io.audio import write_wav
+
+    sr = 44100
+    rng = np.random.default_rng(seed)
+    t = np.arange(int(seconds * sr)) / sr
+    melody = 0.3 * np.sin(2 * np.pi * (220 + 30 * np.sin(2 * np.pi * 0.5 * t)) * t)
+    chords = sum(0.1 * np.sin(2 * np.pi * f * t) for f in (110.0, 165.0, 220.0))
+    noise = 0.01 * rng.standard_normal(t.shape[0])
+    wave = np.stack([melody + chords + noise, melody - chords + noise]).astype(np.float32)
+    write_wav(path, wave, sr)
+
+
+def bench_cover(reps: int, seconds: float) -> dict:
+    from aicovergen_tpu.pipeline.cover import CoverPipeline
+    from aicovergen_tpu.io.assets import AssetStore
+    from aicovergen_tpu.utils.metrics import Metrics
+
+    base = _build_assets()
+    store = AssetStore(base)
+    pipeline = CoverPipeline(store=store)
+
+    def run(seed):
+        song = os.path.join(base, f"bench_song_{seed}.wav")
+        _make_song(song, seconds, seed)
+        # fresh song id every run => no stage cache short-circuits
+        metrics = Metrics()
+        t0 = time.time()
+        pipeline.song_cover(
+            song, "BenchVoice", pitch_change=0, index_rate=0.0,
+            output_format="wav", metrics=metrics,
+        )
+        wall = time.time() - t0
+        shutil.rmtree(os.path.join(store.output_dir), ignore_errors=True)
+        os.remove(song)
+        return wall, metrics
+
+    t0 = time.time()
+    run(0)  # warmup: compiles every stage
+    print(f"[bench] warmup (incl. compile): {time.time() - t0:.1f}s", file=sys.stderr)
+
+    walls, stage_reports = [], []
+    for rep in range(reps):
+        wall, metrics = run(rep + 1)
+        walls.append(wall)
+        stage_reports.append(metrics.report())
+        print(f"[bench] rep {rep + 1}: {wall:.2f}s  rtf={seconds / wall:.2f}", file=sys.stderr)
+
+    best = int(np.argmin(walls))
+    rtf = seconds / walls[best]
+    stages = {
+        name: entry["seconds"]
+        for name, entry in stage_reports[best]["stages"].items()
+    }
+    return {
+        "metric": f"cover_rtf_{int(seconds)}s",
+        "value": round(rtf, 3),
+        "unit": "audio_s_per_s",
+        "vs_baseline": round(rtf / BASELINE_RTF, 3),
+        "stages": stages,
+        "reps_wall_s": [round(w, 2) for w in walls],
+    }
+
+
+def bench_vc(reps: int, seconds: float) -> dict:
+    """VC-only path (BASELINE config 1): comparable to the round-1 metric."""
+    from aicovergen_tpu.convert.hubert_convert import transformers_state_to_tree
+    from aicovergen_tpu.convert.torch_reader import fold_weight_norm, nest
+    from aicovergen_tpu.models.rvc import RVCConfig
+    from aicovergen_tpu.pipeline.f0 import F0Estimator
+    from aicovergen_tpu.pipeline.vc import VoiceConverter
+    from aicovergen_tpu.utils.config import default_config
+    from aicovergen_tpu.utils.metrics import Metrics
+    from aicovergen_tpu.utils.precision import cast_floats
+
+    runtime = default_config()
+    synth_params = nest(fold_weight_norm(_load_flat(
+        os.path.join(FIXTURES, "rvc_synth_v2f0.npz"), drop_prefixes=("enc_q.",)
+    )))
+    hubert_params = transformers_state_to_tree(_load_flat(os.path.join(FIXTURES, "hubert_base.npz")))
+    rmvpe_params = nest(_load_flat(os.path.join(FIXTURES, "rmvpe_e2e.npz")))
+    if runtime.use_bf16:
+        synth_params = cast_floats(synth_params, runtime.compute_dtype)
+        hubert_params = cast_floats(hubert_params, runtime.compute_dtype)
+
+    vc = VoiceConverter(
+        synth_params=synth_params,
+        synth_cfg=RVCConfig(version="v2", if_f0=True),
+        hubert_params=hubert_params,
+        f0_estimator=F0Estimator(
+            rmvpe_params=rmvpe_params,
+            compute_dtype=runtime.compute_dtype if runtime.use_bf16 else None,
+        ),
+        runtime=runtime,
+    )
+    sr = 16000
+    rng = np.random.default_rng(0)
+    t = np.arange(int(seconds * sr)) / sr
+    audio = (
+        0.3 * np.sin(2 * np.pi * (200 + 40 * np.sin(2 * np.pi * 0.4 * t)) * t)
+        + 0.02 * rng.standard_normal(t.shape[0])
+    ).astype(np.float64)
+
+    t0 = time.time()
+    vc.convert(audio, f0_method="rmvpe", index_rate=0.0)
+    print(f"[bench] warmup (incl. compile): {time.time() - t0:.1f}s", file=sys.stderr)
+
+    walls, reports = [], []
+    for _ in range(reps):
+        metrics = Metrics(audio_seconds=seconds)
+        t0 = time.time()
+        vc.convert(audio, f0_method="rmvpe", index_rate=0.0, metrics=metrics)
+        walls.append(time.time() - t0)
+        reports.append(metrics.report())
+    best = int(np.argmin(walls))
+    rtf = seconds / walls[best]
+    print(f"[bench] times: {[f'{x:.2f}' for x in walls]}", file=sys.stderr)
+    return {
+        "metric": f"vc_rtf_{int(seconds)}s",
+        "value": round(rtf, 3),
+        "unit": "audio_s_per_s",
+        "vs_baseline": round(rtf / BASELINE_RTF, 3),
+        "stages": {k: v["seconds"] for k, v in reports[best]["stages"].items()},
+        "reps_wall_s": [round(w, 2) for w in walls],
+    }
 
 
 def main() -> int:
@@ -50,78 +259,17 @@ def main() -> int:
 
     import jax
 
-    from aicovergen_tpu.convert.hubert_convert import transformers_state_to_tree
-    from aicovergen_tpu.convert.torch_reader import nest
-    from aicovergen_tpu.models.rvc import RVCConfig
-    from aicovergen_tpu.pipeline.f0 import F0Estimator
-    from aicovergen_tpu.pipeline.vc import VoiceConverter
-    from aicovergen_tpu.utils.config import RuntimeConfig
-
     print(f"[bench] devices: {jax.devices()}", file=sys.stderr)
 
-    synth_params = _load_tree(
-        os.path.join(FIXTURES, "rvc_synth_v2f0.npz"), drop_prefixes=("enc_q.",)
-    )
-    hdata = np.load(os.path.join(FIXTURES, "hubert_base.npz"))
-    hubert_params = transformers_state_to_tree(
-        {k[3:]: hdata[k] for k in hdata.files if k.startswith("sd:")}
-    )
-    rdata = np.load(os.path.join(FIXTURES, "rmvpe_e2e.npz"))
-    rmvpe_params = nest(
-        {
-            k[3:]: rdata[k]
-            for k in rdata.files
-            if k.startswith("sd:") and not k.endswith("num_batches_tracked")
-        }
-    )
-
-    vc = VoiceConverter(
-        synth_params=synth_params,
-        synth_cfg=RVCConfig(version="v2", if_f0=True),
-        hubert_params=hubert_params,
-        f0_estimator=F0Estimator(rmvpe_params=rmvpe_params),
-        runtime=RuntimeConfig(
-            x_pad=int(os.environ.get("AICG_X_PAD", 3)),
-            x_query=10,
-            x_center=60,
-            x_max=65,
-            bucket_samples=int(os.environ.get("AICG_BUCKET", 16000)),
-        ),
-    )
-
-    sr = 16000
-    rng = np.random.default_rng(0)
-    t = np.arange(AUDIO_SECONDS * sr) / sr
-    audio = (
-        0.3 * np.sin(2 * np.pi * (200 + 40 * np.sin(2 * np.pi * 0.4 * t)) * t)
-        + 0.02 * rng.standard_normal(AUDIO_SECONDS * sr)
-    ).astype(np.float64)
-
-    # warmup (compile)
-    t0 = time.time()
-    vc.convert(audio, f0_method="rmvpe", index_rate=0.0)
-    warmup = time.time() - t0
-    print(f"[bench] warmup (incl. compile): {warmup:.1f}s", file=sys.stderr)
-
-    times = []
-    for _ in range(int(os.environ.get("AICG_BENCH_REPS", 3))):
-        t0 = time.time()
-        vc.convert(audio, f0_method="rmvpe", index_rate=0.0)
-        times.append(time.time() - t0)
-    best = min(times)
-    rtf = AUDIO_SECONDS / best
-    print(f"[bench] times: {[f'{x:.2f}' for x in times]}  best={best:.2f}s", file=sys.stderr)
-
-    print(
-        json.dumps(
-            {
-                "metric": "vc_rtf_30s",
-                "value": round(rtf, 3),
-                "unit": "audio_s_per_s",
-                "vs_baseline": round(rtf / BASELINE_RTF, 3),
-            }
-        )
-    )
+    mode = os.environ.get("AICG_BENCH", "cover")
+    reps = int(os.environ.get("AICG_BENCH_REPS", 2))
+    if mode == "vc":
+        seconds = float(os.environ.get("AICG_BENCH_SECONDS", 30))
+        result = bench_vc(reps, seconds)
+    else:
+        seconds = float(os.environ.get("AICG_BENCH_SECONDS", 240))
+        result = bench_cover(reps, seconds)
+    print(json.dumps(result))
     return 0
 
 

@@ -134,3 +134,50 @@ def test_shape_subgraph_is_traced_concretely(tmp_path):
     out = np.asarray(jax.jit(lambda v: executor(v))(jnp.asarray(x)))
     assert out.shape == (2, 15)
     np.testing.assert_allclose(out, np.maximum(x.reshape(2, 15), 0))
+
+
+def test_conv_tdf_replica_traces_and_runs(tmp_path):
+    """A faithful conv-TDF (KUIELab/UVR MDX-Net) U-Net — TFC conv blocks,
+    TDF frequency-bottleneck linears, strided down/up scaling, skip concats —
+    must load and execute through the OnnxExecutor.  This guards the op set
+    the real UVR checkpoints (Voc_FT/KARA_2/Reverb_HQ) rely on: if the
+    executor would die at models/mdx.py's unsupported-op guard on a real
+    graph, it dies here first."""
+    from aicovergen_tpu.models.conv_tdf import ConvTDFSpec, build_conv_tdf_onnx
+    from aicovergen_tpu.models.mdx import OnnxExecutor
+
+    path = str(tmp_path / "conv_tdf.onnx")
+    spec = ConvTDFSpec(dim_f=64, dim_t=32, g=4, n_scales=3, tfc=2, bn_factor=8)
+    build_conv_tdf_onnx(path, spec)
+    executor = OnnxExecutor(read_onnx(path))
+
+    import jax
+
+    x = np.random.default_rng(0).standard_normal((2, 4, 64, 32)).astype(np.float32)
+    out = np.asarray(jax.jit(lambda v: executor.apply(executor.weights, v))(jnp.asarray(x)))
+    assert out.shape == x.shape
+    assert np.isfinite(out).all()
+    # conv+BN fusion must have removed every BatchNormalization node
+    assert not any(n.op_type == "BatchNormalization" for n in executor.graph.nodes)
+
+
+def test_conv_tdf_replica_through_separation(tmp_path):
+    """Full separation path over the replica net at reduced dims: the fused
+    STFT->conv-TDF->iSTFT chunk pipeline must produce finite stereo stems."""
+    from aicovergen_tpu.models.conv_tdf import ConvTDFSpec, build_conv_tdf_onnx
+    from aicovergen_tpu.models.mdx import load_mdx_model
+    from aicovergen_tpu.pipeline.separate import MDXParams, separate
+
+    path = str(tmp_path / "conv_tdf_sep.onnx")
+    spec = ConvTDFSpec(dim_f=256, dim_t=32, g=4, n_scales=3, tfc=1)
+    build_conv_tdf_onnx(path, spec)
+    model_fn = load_mdx_model(path)
+
+    params = MDXParams(dim_f=256, dim_t=32, n_fft=1024, compensation=1.02)
+    t = np.arange(3 * 44100) / 44100
+    wave = np.stack(
+        [np.sin(2 * np.pi * 440 * t), np.sin(2 * np.pi * 220 * t)]
+    ).astype(np.float32) * 0.5
+    primary, complement = separate(wave, model_fn, params, denoise=True, batch_size=4)
+    assert primary.shape == wave.shape and complement.shape == wave.shape
+    assert np.isfinite(primary).all() and np.isfinite(complement).all()

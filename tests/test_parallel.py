@@ -84,3 +84,56 @@ def test_train_step_dp_tp():
     state, metrics = step_fn(state, batch, jax.random.PRNGKey(0))
     assert np.isfinite(float(metrics["loss/gen_total"]))
     assert np.isfinite(float(metrics["loss/disc"]))
+
+
+def test_sharded_vc_matches_single_device():
+    """Full VoiceConverter with the segment batch sharded over the 8-device
+    "data" axis must reproduce the unsharded output (per-row fold_in noise
+    makes the draw invariant to batch padding)."""
+    from conftest import load_fixture
+    from aicovergen_tpu.convert.hubert_convert import transformers_state_to_tree
+    from aicovergen_tpu.convert.torch_reader import fold_weight_norm, nest
+    from aicovergen_tpu.parallel.mesh import make_chunk_sharder
+    from aicovergen_tpu.pipeline.f0 import F0Estimator
+    from aicovergen_tpu.pipeline.vc import SR, VoiceConverter
+    from aicovergen_tpu.utils.config import RuntimeConfig
+
+    fx = load_fixture("rvc_synth_v2f0.npz")
+    flat = {
+        k[3:]: fx[k]
+        for k in fx.files
+        if k.startswith("sd:")
+        and not k[3:].startswith("enc_q.")
+        and not k.endswith("num_batches_tracked")
+    }
+    synth_params = nest(fold_weight_norm(flat))
+    hx = load_fixture("hubert_base.npz")
+    hubert_params = transformers_state_to_tree(
+        {k[3:]: hx[k] for k in hx.files if k.startswith("sd:")}
+    )
+    runtime = RuntimeConfig(x_pad=1, x_query=1, x_center=3, x_max=5, bucket_samples=8000)
+    common = dict(
+        synth_params=synth_params,
+        synth_cfg=RVCConfig(version="v2", if_f0=True),
+        hubert_params=hubert_params,
+        f0_estimator=F0Estimator(),
+        runtime=runtime,
+    )
+    t = np.arange(SR * 7) / SR
+    audio = (0.3 * np.sin(2 * np.pi * 330 * t)).astype(np.float64)
+
+    single = VoiceConverter(**common)
+    out_single, sr_single = single.convert(audio, f0_method="pm", index_rate=0.0)
+
+    mesh = make_mesh(8)
+    sharded = VoiceConverter(
+        **common, shard=make_chunk_sharder(mesh), data_parallel=mesh.shape["data"]
+    )
+    out_sharded, sr_sharded = sharded.convert(audio, f0_method="pm", index_rate=0.0)
+
+    assert sr_single == sr_sharded
+    assert out_single.shape == out_sharded.shape
+    # int16 outputs: identical up to one quantization step
+    np.testing.assert_allclose(
+        out_sharded.astype(np.int32), out_single.astype(np.int32), atol=2
+    )
