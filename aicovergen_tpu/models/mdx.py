@@ -233,6 +233,20 @@ class OnnxExecutor:
         }
         self._static = {k: v for k, v in self.initializers.items() if k not in self.weights}
 
+    def cast(self, dtype) -> Dict[str, object]:
+        """Cast every float initializer (large weights AND small static
+        tensors like biases) to `dtype` so the whole graph computes in one
+        dtype; int/shape metadata stays concrete.  Returns the cast weights
+        dict (pass it to apply())."""
+        import jax.numpy as jnp
+
+        def c(v):
+            return v.astype(dtype) if np.issubdtype(np.asarray(v).dtype, np.floating) else v
+
+        self._static = {k: c(v) for k, v in self._static.items()}
+        self.weights = {k: jnp.asarray(v).astype(dtype) for k, v in self.weights.items()}
+        return self.weights
+
     def apply(self, weights: Dict[str, object], *args):
         graph = self.graph
         env: Dict[str, object] = dict(self._static)

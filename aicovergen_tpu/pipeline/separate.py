@@ -133,9 +133,8 @@ def make_chunk_runner(
     weights = getattr(model_fn, "weights", None)
     if weights is not None:
         if compute_dtype is not None:
-            from ..utils.precision import cast_floats
-
-            weights = cast_floats(weights, compute_dtype)
+            # casts the executor's static biases too — one dtype graph-wide
+            weights = model_fn.cast(compute_dtype)
         weights = jax.device_put(weights)
 
     def net(call, spec):
