@@ -66,9 +66,11 @@ def crepe_forward(params, frames: jnp.ndarray, capacity: str = "full") -> jnp.nd
         pad = (254, 254) if i == 0 else (31, 32)
         x = jnp.pad(x, ((0, 0), (0, 0), pad, (0, 0)))
         x = conv2d(params[f"conv{i + 1}"], x, stride=(s, 1))
+        # torchcrepe layer order (model.py): conv -> relu -> BN -> maxpool
+        # (the Keras CREPE convention: activation inside Conv2D, BN after)
+        x = jax.nn.relu(x)
         if f"conv{i + 1}_BN" in params:
             x = batch_norm(params[f"conv{i + 1}_BN"], x)
-        x = jax.nn.relu(x)
         x = jax.lax.reduce_window(
             x, -jnp.inf, jax.lax.max, (1, 1, 2, 1), (1, 1, 2, 1), "VALID"
         )

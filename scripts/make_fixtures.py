@@ -177,9 +177,105 @@ def make_rmvpe():
     print("wrote rmvpe_decode.npz")
 
 
+def make_crepe():
+    """Golden CREPE forward + decode.  torchcrepe is not installed in this
+    environment, so the goldens come from a torch twin built to torchcrepe's
+    published architecture (model.py): 6 x [pad, Conv2d, ReLU, BatchNorm2d,
+    MaxPool(2,1)] with first-layer kernel (512,1) stride (4,1), then
+    permute(0,3,2,1) -> Linear(2048, 360) -> sigmoid; and from a direct numpy
+    transcription of the viterbi/weighted-average decode semantics."""
+    import torch.nn as tnn
+    import torch.nn.functional as tF
+
+    capacity = "full"
+    widths = [1024, 128, 128, 128, 256, 512]
+    if capacity == "tiny":
+        widths = [n // 8 for n in widths]
+
+    class CrepeTwin(tnn.Module):
+        def __init__(self):
+            super().__init__()
+            in_ch = [1] + widths[:-1]
+            kernels = [(512, 1)] + [(64, 1)] * 5
+            strides = [(4, 1)] + [(1, 1)] * 5
+            for i in range(6):
+                setattr(self, f"conv{i+1}", tnn.Conv2d(in_ch[i], widths[i], kernels[i], strides[i]))
+                setattr(self, f"conv{i+1}_BN", tnn.BatchNorm2d(widths[i]))
+            self.classifier = tnn.Linear(widths[-1] * 4, 360)
+
+        def forward(self, frames):
+            x = frames[:, None, :, None]
+            for i in range(6):
+                pad = (0, 0, 254, 254) if i == 0 else (0, 0, 31, 32)
+                x = tF.pad(x, pad)
+                x = getattr(self, f"conv{i+1}")(x)
+                x = tF.relu(x)
+                x = getattr(self, f"conv{i+1}_BN")(x)
+                x = tF.max_pool2d(x, (2, 1), (2, 1))
+            x = x.permute(0, 3, 2, 1).reshape(x.shape[0], -1)
+            return torch.sigmoid(self.classifier(x))
+
+    torch.manual_seed(7)
+    model = CrepeTwin()
+    # non-trivial BN running stats so the BN path is actually exercised
+    with torch.no_grad():
+        for i in range(6):
+            bn = getattr(model, f"conv{i+1}_BN")
+            bn.running_mean.normal_(0, 0.05)
+            bn.running_var.uniform_(0.5, 1.5)
+    model.eval()
+
+    rng = np.random.default_rng(11)
+    sr, hop = 16000, 160
+    t = np.arange(sr) / sr
+    audio = (0.5 * np.sin(2 * np.pi * 220 * t) + 0.01 * rng.standard_normal(sr)).astype(
+        np.float32
+    )
+    # torchcrepe.preprocess framing (pad=True)
+    padded = np.pad(audio, (512, 512))
+    n_frames = 1 + len(audio) // hop
+    idx = np.arange(n_frames)[:, None] * hop + np.arange(1024)[None, :]
+    frames = padded[idx].astype(np.float32)
+    mean = frames.mean(axis=1, keepdims=True)
+    std = np.maximum(frames.std(axis=1, keepdims=True), 1e-10)
+    frames = (frames - mean) / std
+
+    with torch.no_grad():
+        probs = model(torch.from_numpy(frames)).numpy()
+
+    # numpy decode reference (torchcrepe.decode.viterbi semantics)
+    xx, yy = np.meshgrid(np.arange(360), np.arange(360))
+    transition = np.maximum(12 - np.abs(xx - yy), 0).astype(np.float64)
+    transition = transition / transition.sum(axis=1, keepdims=True)
+    p = probs / np.maximum(probs.sum(axis=1, keepdims=True), 1e-12)
+    log_trans = np.log(transition + 1e-12)
+    log_p = np.log(np.maximum(p, 1e-12))
+    alpha = np.log(np.full(360, 1 / 360)) + log_p[0]
+    ptrs = np.zeros((len(p) - 1, 360), np.int64)
+    for ti in range(1, len(p)):
+        scores = alpha[:, None] + log_trans
+        ptrs[ti - 1] = np.argmax(scores, axis=0)
+        alpha = np.max(scores, axis=0) + log_p[ti]
+    path = np.zeros(len(p), np.int64)
+    path[-1] = np.argmax(alpha)
+    for ti in range(len(p) - 2, -1, -1):
+        path[ti] = ptrs[ti][path[ti + 1]]
+
+    np.savez_compressed(
+        os.path.join(OUT, "crepe_full.npz"),
+        **_state_to_npz_dict(model),
+        audio=audio,
+        hop=np.asarray(hop),
+        frames=frames,
+        probs=probs,
+        viterbi_path=path,
+    )
+    print("wrote crepe_full.npz  probs:", probs.shape)
+
+
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--only", default="rvc,hubert,rmvpe")
+    ap.add_argument("--only", default="rvc,hubert,rmvpe,crepe")
     args = ap.parse_args()
     wanted = set(args.only.split(","))
     if "rvc" in wanted:
@@ -188,6 +284,8 @@ def main():
         make_hubert()
     if "rmvpe" in wanted:
         make_rmvpe()
+    if "crepe" in wanted:
+        make_crepe()
 
 
 if __name__ == "__main__":
