@@ -47,10 +47,7 @@ def _serving_mesh():
 
     return serving_mesh(default_config().num_devices)
 
-def _worker(store: AssetStore):
-    from ..pipeline.cover import CoverPipeline
-
-    pipeline = CoverPipeline(store, runtime=default_config(), mesh=_serving_mesh())
+def _worker(pipeline):
     while True:
         job_id, params = _JOB_QUEUE.get()
         job = _JOBS[job_id]
@@ -351,12 +348,21 @@ def serve(
     host: str = "127.0.0.1",
     port: int = 7860,
     start_worker: bool = True,
+    workers: int = 1,
 ) -> ThreadingHTTPServer:
     store = AssetStore(base_dir or default_base_dir())
     os.makedirs(store.output_dir, exist_ok=True)
     os.makedirs(store.rvc_models_dir, exist_ok=True)
     if start_worker:
-        threading.Thread(target=_worker, args=(store,), daemon=True).start()
+        # multi-song throughput: N workers share one pipeline (jit caches,
+        # model trees and the device mesh are shared; host-side stages of
+        # one song overlap device work of another).  The reference's Gradio
+        # queue was strictly serial (reference webui.py:317-322).
+        from ..pipeline.cover import CoverPipeline
+
+        pipeline = CoverPipeline(store, runtime=default_config(), mesh=_serving_mesh())
+        for _ in range(max(workers, 1)):
+            threading.Thread(target=_worker, args=(pipeline,), daemon=True).start()
     server = ThreadingHTTPServer((host, port), make_handler(store))
     return server
 
@@ -371,11 +377,35 @@ def main(argv=None) -> int:
     ap.add_argument("--listen-host", default="127.0.0.1")
     ap.add_argument("--listen-port", type=int, default=7860)
     ap.add_argument("--listen", action="store_true", help="bind 0.0.0.0")
+    ap.add_argument(
+        "--share",
+        action="store_true",
+        help="expose a public URL via an external tunnel command "
+        "(AICG_TUNNEL_CMD, default: `cloudflared tunnel --url http://HOST:PORT`) "
+        "— the role of the reference's gradio --share flag (webui.py:158-163)",
+    )
+    ap.add_argument("--workers", type=int, default=int(os.environ.get("AICG_WORKERS", 1)),
+                    help="concurrent cover jobs (multi-song throughput serving)")
     ap.add_argument("--base-dir", default=None)
     args = ap.parse_args(argv)
-    host = "0.0.0.0" if args.listen else args.listen_host
-    server = serve(args.base_dir, host, args.listen_port)
+    host = "0.0.0.0" if args.listen or args.share else args.listen_host
+    server = serve(args.base_dir, host, args.listen_port, workers=args.workers)
     print(f"[+] web UI at http://{host}:{args.listen_port}")
+    if args.share:
+        import shlex
+        import subprocess
+
+        cmd = os.environ.get(
+            "AICG_TUNNEL_CMD", f"cloudflared tunnel --url http://127.0.0.1:{args.listen_port}"
+        )
+        try:
+            tunnel = subprocess.Popen(shlex.split(cmd))
+            print(f"[+] tunnel started: {cmd!r} (pid {tunnel.pid})")
+        except FileNotFoundError:
+            print(
+                f"[!] --share: tunnel command {cmd.split()[0]!r} not found; install "
+                "cloudflared/ngrok or set AICG_TUNNEL_CMD"
+            )
     server.serve_forever()
     return 0
 

@@ -18,6 +18,7 @@ from __future__ import annotations
 
 import gc
 import os
+import threading
 from dataclasses import dataclass, field
 from typing import Optional
 from urllib.parse import parse_qs, urlparse
@@ -105,6 +106,9 @@ class CoverPipeline:
             # MDX batches must split evenly over "data"
             width = self.mesh.shape["data"]
             self.mdx_batch_size = max(self.mdx_batch_size, width)
+        # per-pipeline model caches (shared across worker threads)
+        self._mdx_cache = {}
+        self._mdx_lock = threading.Lock()
 
     @property
     def _data_parallel(self) -> int:
@@ -114,14 +118,18 @@ class CoverPipeline:
     def _load_mdx(self, filename: str):
         from ..models.mdx import load_mdx_model
 
-        path = self.store.mdx_model_path(filename)
-        if not os.path.exists(path):
-            raise FileNotFoundError(
-                f"{path} missing — run `aicovergen-download` or place the ONNX file there"
-            )
-        params = mdx_params_for(path)
-        model_fn = load_mdx_model(path)
-        return model_fn, params
+        with self._mdx_lock:
+            if filename in self._mdx_cache:
+                return self._mdx_cache[filename]
+            path = self.store.mdx_model_path(filename)
+            if not os.path.exists(path):
+                raise FileNotFoundError(
+                    f"{path} missing — run `aicovergen-download` or place the ONNX file there"
+                )
+            params = mdx_params_for(path)
+            model_fn = load_mdx_model(path)
+            self._mdx_cache[filename] = (model_fn, params)
+            return model_fn, params
 
     def _run_separation(self, wave: np.ndarray, model_file: str, denoise: bool = True):
         model_fn, params = self._load_mdx(model_file)

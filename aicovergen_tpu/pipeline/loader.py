@@ -66,12 +66,14 @@ def _load_tree_cached(src: str, convert_fn):
     return tree
 
 
+@lru_cache(maxsize=4)
 def load_hubert_params(path: str):
     from ..convert.hubert_convert import load_hubert_checkpoint
 
     return _load_tree_cached(path, load_hubert_checkpoint)
 
 
+@lru_cache(maxsize=4)
 def load_rmvpe_params(path: str):
     from ..convert.torch_reader import load_torch_state, state_dict_to_tree
 

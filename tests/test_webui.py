@@ -127,3 +127,53 @@ def test_extract_model_zip_rejects_no_model(tmp_path):
     with pytest.raises(ValueError, match="No .pth model file"):
         webui.extract_model_zip(buf.getvalue(), str(tmp_path / "Bad"))
     assert not os.path.exists(str(tmp_path / "Bad"))
+
+
+def test_safe_model_name_rejects_traversal():
+    from aicovergen_tpu.api.webui import _safe_model_name
+
+    assert _safe_model_name("My Voice (v2)") == "My Voice (v2)"
+    for bad in ("../x", "a/b", "a\\b", "..", ". ", "", "x/../../y"):
+        with pytest.raises(ValueError):
+            _safe_model_name(bad)
+
+
+def test_multi_worker_queue_drains_concurrently(tmp_path):
+    """Two workers pull jobs from the shared queue in parallel (multi-song
+    throughput serving; the reference's Gradio queue was serial)."""
+    import time as _time
+
+    from aicovergen_tpu.api import webui
+
+    starts, barrier = [], threading.Barrier(2, timeout=10)
+
+    class FakePipeline:
+        def song_cover(self, progress=None, **params):
+            starts.append(_time.monotonic())
+            barrier.wait()  # both jobs must be in-flight at once
+            return f"/tmp/out_{params['song_input']}.wav"
+
+    # drain jobs left behind by earlier tests (no worker ran to consume them)
+    while not webui._JOB_QUEUE.empty():
+        webui._JOB_QUEUE.get_nowait()
+
+    pipeline = FakePipeline()
+    for _ in range(2):
+        threading.Thread(target=webui._worker, args=(pipeline,), daemon=True).start()
+
+    ids = []
+    for i in range(2):
+        job_id = f"job{i}"
+        webui._JOBS[job_id] = {"status": "queued", "progress": 0.0, "message": ""}
+        webui._JOB_QUEUE.put((job_id, {"song_input": str(i), "voice_model": "v"}))
+        ids.append(job_id)
+
+    deadline = _time.monotonic() + 15
+    while _time.monotonic() < deadline:
+        if all(webui._JOBS[j]["status"] == "done" for j in ids):
+            break
+        _time.sleep(0.05)
+    assert all(webui._JOBS[j]["status"] == "done" for j in ids), [
+        webui._JOBS[j] for j in ids
+    ]
+    assert len(starts) == 2
