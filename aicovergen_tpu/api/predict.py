@@ -22,14 +22,14 @@ F0_METHODS = ("rmvpe", "mangio-crepe", "crepe", "crepe-tiny", "pm", "dio", "harv
 OUTPUT_FORMATS = ("mp3", "wav")
 
 
-@dataclass
-
 def _serving_mesh():
     from ..parallel.mesh import serving_mesh
     from ..utils.config import default_config
 
     return serving_mesh(default_config().num_devices)
 
+
+@dataclass
 class Predictor:
     base_dir: Optional[str] = None
 

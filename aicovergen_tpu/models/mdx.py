@@ -340,13 +340,54 @@ class OnnxExecutor:
             if _is_np(a, b):
                 return [np.asarray(fn(np.asarray(a), np.asarray(b)))]
             return [fn(a, b)]
-        if op in ("Exp", "Log", "Sqrt", "Neg", "Abs", "Reciprocal", "Erf"):
+        if op in ("Exp", "Log", "Sqrt", "Neg", "Abs", "Reciprocal", "Erf",
+                  "Sin", "Cos", "Floor", "Ceil", "Round", "Softplus"):
             fn = {
                 "Exp": jnp.exp, "Log": jnp.log, "Sqrt": jnp.sqrt, "Neg": jnp.negative,
                 "Abs": jnp.abs, "Reciprocal": lambda v: 1.0 / v,
                 "Erf": jax.scipy.special.erf,
+                "Sin": jnp.sin, "Cos": jnp.cos, "Floor": jnp.floor,
+                "Ceil": jnp.ceil, "Round": jnp.round, "Softplus": jax.nn.softplus,
             }[op]
             return [fn(x)]
+        if op == "Mod":
+            # fmod=0 (python-style modulo, the torch % export default)
+            if node.attr("fmod", 0):
+                return [jnp.fmod(ins[0], ins[1])]
+            return [jnp.mod(ins[0], ins[1])]
+        if op == "CumSum":
+            axis = int(np.asarray(ins[1]))
+            assert not node.attr("exclusive", 0) and not node.attr("reverse", 0)
+            return [jnp.cumsum(x, axis=axis)]
+        if op == "Where":
+            return [jnp.where(ins[0], ins[1], ins[2])]
+        if op in ("Less", "Greater", "LessOrEqual", "GreaterOrEqual", "Equal"):
+            fn = {
+                "Less": jnp.less, "Greater": jnp.greater,
+                "LessOrEqual": jnp.less_equal, "GreaterOrEqual": jnp.greater_equal,
+                "Equal": jnp.equal,
+            }[op]
+            a, b = ins[0], ins[1]
+            if _is_np(a, b):
+                return [np.asarray(fn(np.asarray(a), np.asarray(b)))]
+            return [fn(a, b)]
+        if op == "Not":
+            return [jnp.logical_not(x)]
+        if op == "Expand":
+            target = [int(v) for v in np.asarray(ins[1]).tolist()]
+            shape = list(jnp.broadcast_shapes(tuple(x.shape), tuple(target)))
+            return [jnp.broadcast_to(x, shape)]
+        if op == "Range":
+            start, limit, delta = (np.asarray(v).item() for v in ins[:3])
+            return [np.arange(start, limit, delta)]
+        if op in ("ReduceMax", "ReduceMin"):
+            axes = node.attr("axes")
+            if len(ins) > 1 and ins[1] is not None:
+                axes = np.asarray(ins[1]).tolist()
+            axes = tuple(int(a) for a in axes) if axes is not None else None
+            keep = bool(node.attr("keepdims", 1))
+            fn = jnp.max if op == "ReduceMax" else jnp.min
+            return [fn(x, axis=axes, keepdims=keep)]
         if op == "MatMul":
             return [jnp.matmul(ins[0], ins[1])]
         if op == "Gemm":
