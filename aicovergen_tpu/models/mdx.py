@@ -240,11 +240,16 @@ class OnnxExecutor:
         dict (pass it to apply())."""
         import jax.numpy as jnp
 
-        def c(v):
-            return v.astype(dtype) if np.issubdtype(np.asarray(v).dtype, np.floating) else v
+        np_dtype = jnp.dtype(dtype)  # ml_dtypes-backed numpy dtype (bf16 ok)
 
+        def c(v):
+            v = np.asarray(v)
+            return v.astype(np_dtype) if np.issubdtype(v.dtype, np.floating) else v
+
+        # cast on HOST so the device upload ships the narrow dtype (half the
+        # bytes through a remote-TPU tunnel), not f32-then-cast-on-device
         self._static = {k: c(v) for k, v in self._static.items()}
-        self.weights = {k: jnp.asarray(v).astype(dtype) for k, v in self.weights.items()}
+        self.weights = {k: c(v) for k, v in self.weights.items()}
         return self.weights
 
     def apply(self, weights: Dict[str, object], *args):

@@ -319,12 +319,17 @@ class CoverPipeline:
 
         ai_vocals, ai_sr = read_wav(ai_vocals_path)
 
-        # --- effects (main.py:293-294)
+        # --- effects (main.py:293-294); zero-pad to a 32 s length bucket so
+        # each new song length reuses the compiled effects chain (the chain
+        # is causal, so pad+trim is exact)
+        from ..utils.precision import pad_to_bucket
+
         display_progress("[~] Applying audio effects to Vocals...", 0.8, progress)
         with metrics.stage("effects"):
+            ai_b, n_ai = pad_to_bucket(ai_vocals, ai_sr * 32, mode="constant")
             ai_vocals_mixed = add_audio_effects(
-                ai_vocals, ai_sr, reverb_rm_size, reverb_wet, reverb_dry, reverb_damping
-            )
+                ai_b, ai_sr, reverb_rm_size, reverb_wet, reverb_dry, reverb_damping
+            )[..., :n_ai]
         mixed_path = os.path.splitext(ai_vocals_path)[0] + "_mixed.wav"
         write_wav(mixed_path, ai_vocals_mixed, ai_sr)
 
@@ -332,8 +337,10 @@ class CoverPipeline:
         if pitch_change_all != 0:
             display_progress("[~] Applying overall pitch change", 0.85, progress)
             with metrics.stage("pitch_shift_all"):
-                instrumental = pitch_shift_all(instrumental, SR_MDX, pitch_change_all)
-                backup = pitch_shift_all(backup, SR_MDX, pitch_change_all)
+                inst_b, n_inst = pad_to_bucket(instrumental, SR_MDX * 32, mode="constant")
+                instrumental = pitch_shift_all(inst_b, SR_MDX, pitch_change_all)[..., :n_inst]
+                bk_b, n_bk = pad_to_bucket(backup, SR_MDX * 32, mode="constant")
+                backup = pitch_shift_all(bk_b, SR_MDX, pitch_change_all)[..., :n_bk]
 
         # --- mixdown (main.py:301-302): align rates to 44.1k
         display_progress("[~] Combining AI Vocals and Instrumentals...", 0.9, progress)

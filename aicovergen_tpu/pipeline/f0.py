@@ -215,7 +215,12 @@ class F0Estimator:
         from ..ops.filters import medfilt
 
         if method == "rmvpe":
-            f0 = np.asarray(self._get_rmvpe().infer(jnp.asarray(x.astype(np.float32)), thred=0.03))
+            # bucket the device-side input so each new song length does not
+            # recompile the mel-STFT/U-Net stack (~40 s per fresh length)
+            from ..utils.precision import pad_to_bucket
+
+            xb, _ = pad_to_bucket(x.astype(np.float32), 16000 * 32)
+            f0 = np.asarray(self._get_rmvpe().infer(jnp.asarray(xb), thred=0.03))
             return _fit_length(f0.astype(np.float64), p_len)
         if method == "pm":
             return autocorr_f0(x, p_len)

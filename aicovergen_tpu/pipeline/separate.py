@@ -164,7 +164,9 @@ def make_chunk_runner(
         pad_n = (-n) % batch_size
         if pad_n:
             chunks = np.concatenate([chunks, np.zeros_like(chunks[:pad_n])], axis=0)
-        outs = []
+        # dispatch every batch first (jax async dispatch overlaps the
+        # host<->device transfers and compute across batches), then gather
+        pending = []
         for i in range(0, chunks.shape[0], batch_size):
             xb = jnp.asarray(chunks[i : i + batch_size])
             if shard is not None:
@@ -176,7 +178,8 @@ def make_chunk_runner(
                 yb = 0.5 * (yb[: xb.shape[0]] - yb[xb.shape[0] :])
             else:
                 yb = run_batch(xb)
-            outs.append(np.asarray(yb, dtype=np.float32))
+            pending.append(yb)
+        outs = [np.asarray(yb, dtype=np.float32) for yb in pending]
         return np.concatenate(outs, axis=0)[:n]
 
     return run

@@ -278,10 +278,14 @@ class VoiceConverter:
         t_pad_tgt = self.tgt_sr * rt.x_pad
         t_pad2 = t_pad * 2
 
+        # bucket the whole-signal device stages (high-pass / f0 / rms mix):
+        # one compiled program per 32 s length class, not per song length
+        from ..utils.precision import pad_to_bucket
+
+        xb, n_true = pad_to_bucket(np.asarray(audio, np.float32), SR * 32)
         audio = np.asarray(
-            zero_phase_fft(self._hp_b, self._hp_a, jnp.asarray(audio, jnp.float32)),
-            np.float64,
-        )
+            zero_phase_fft(self._hp_b, self._hp_a, jnp.asarray(xb)), np.float64
+        )[:n_true]
         opt_ts = find_split_points(audio, rt)
 
         audio_pad = np.pad(audio, (t_pad, t_pad), mode="reflect")
@@ -327,18 +331,19 @@ class VoiceConverter:
 
         with metrics.stage("vc/post"):
             if rms_mix_rate != 1:
+                src_b, _ = pad_to_bucket(audio.astype(np.float32), SR * 32, mode="constant")
+                out_b, n_out = pad_to_bucket(audio_opt, self.tgt_sr * 32, mode="constant")
                 audio_opt = np.asarray(
                     mix_rms_envelope(
-                        jnp.asarray(audio.astype(np.float32)),
-                        SR,
-                        jnp.asarray(audio_opt),
-                        self.tgt_sr,
-                        rms_mix_rate,
+                        jnp.asarray(src_b), SR, jnp.asarray(out_b), self.tgt_sr, rms_mix_rate
                     )
-                )
+                )[:n_out]
             out_sr = self.tgt_sr
             if resample_sr >= SR and self.tgt_sr != resample_sr:
-                audio_opt = np.asarray(resample(jnp.asarray(audio_opt), self.tgt_sr, resample_sr))
+                out_b, n_out = pad_to_bucket(audio_opt, self.tgt_sr * 32, mode="constant")
+                audio_opt = np.asarray(
+                    resample(jnp.asarray(out_b), self.tgt_sr, resample_sr)
+                )[: int(round(n_out * resample_sr / self.tgt_sr))]
                 out_sr = resample_sr
 
         # int16 normalization (vc_infer_pipeline.py:645-649)

@@ -57,7 +57,11 @@ class Metrics:
         return out
 
     def log(self, label: str = "pipeline") -> None:
-        print(f"AICG_METRICS {label} {json.dumps(self.report())}", flush=True)
+        report = self.report()
+        print(f"AICG_METRICS {label} {json.dumps(report)}", flush=True)
+        from .logging import get_logger, log_event
+
+        log_event(get_logger("aicovergen.metrics"), label, **report)
 
 
 @contextlib.contextmanager

@@ -18,3 +18,8 @@ def _print_progress(percent: float, message: str) -> None:
 
 def display_progress(message: str, percent: float, progress: Optional[ProgressFn] = None) -> None:
     (progress or _print_progress)(percent, message)
+    if progress is not None:
+        # still emit a structured debug event when a UI sink swallowed it
+        from .logging import get_logger
+
+        get_logger("aicovergen.progress").debug("%.0f%% %s", percent * 100, message)

@@ -147,10 +147,11 @@ def bench_cover(reps: int, seconds: float) -> dict:
     store = AssetStore(base)
     pipeline = CoverPipeline(store=store)
 
-    def run(seed):
+    def run(seed, run_seconds):
         song = os.path.join(base, f"bench_song_{seed}.wav")
-        _make_song(song, seconds, seed)
-        # fresh song id every run => no stage cache short-circuits
+        _make_song(song, run_seconds, seed)
+        # no stage-cache short-circuits (incl. leftovers of killed runs)
+        shutil.rmtree(os.path.join(store.output_dir), ignore_errors=True)
         metrics = Metrics()
         t0 = time.time()
         pipeline.song_cover(
@@ -162,29 +163,43 @@ def bench_cover(reps: int, seconds: float) -> dict:
         os.remove(song)
         return wall, metrics
 
-    t0 = time.time()
-    run(0)  # warmup: compiles every stage
-    print(f"[bench] warmup (incl. compile): {time.time() - t0:.1f}s", file=sys.stderr)
-
+    # full-length warmup: compiles/loads every program (the remote-TPU
+    # backend has a fixed ~1 min per-program executable-load cost per
+    # process, so the warmup dominates; reps after it are steady-state).
+    # A wall budget guarantees the JSON line is emitted even when compiles
+    # eat most of the window: the warmup pass itself is the fallback rep.
+    budget = float(os.environ.get("AICG_BENCH_BUDGET", 480))
+    t_start = time.time()
     walls, stage_reports = [], []
-    for rep in range(reps):
-        wall, metrics = run(rep + 1)
+
+    wall, metrics = run(0, seconds)
+    print(f"[bench] warmup (incl. compile): {wall:.1f}s", file=sys.stderr)
+    warmup_report = metrics.report()
+
+    rep = 0
+    while rep < reps and time.time() - t_start + (walls[-1] if walls else 60) < budget:
+        wall, metrics = run(rep + 1, seconds)
         walls.append(wall)
         stage_reports.append(metrics.report())
         print(f"[bench] rep {rep + 1}: {wall:.2f}s  rtf={seconds / wall:.2f}", file=sys.stderr)
+        rep += 1
 
-    best = int(np.argmin(walls))
-    rtf = seconds / walls[best]
-    stages = {
-        name: entry["seconds"]
-        for name, entry in stage_reports[best]["stages"].items()
-    }
+    if walls:
+        best = int(np.argmin(walls))
+        best_wall, best_report = walls[best], stage_reports[best]
+        steady = True
+    else:  # budget exhausted during warmup — report the warmup pass itself
+        best_wall, best_report = wall, warmup_report
+        steady = False
+    rtf = seconds / best_wall
+    stages = {name: entry["seconds"] for name, entry in best_report["stages"].items()}
     return {
         "metric": f"cover_rtf_{int(seconds)}s",
         "value": round(rtf, 3),
         "unit": "audio_s_per_s",
         "vs_baseline": round(rtf / BASELINE_RTF, 3),
         "stages": stages,
+        "steady_state": steady,
         "reps_wall_s": [round(w, 2) for w in walls],
     }
 
@@ -262,7 +277,7 @@ def main() -> int:
     print(f"[bench] devices: {jax.devices()}", file=sys.stderr)
 
     mode = os.environ.get("AICG_BENCH", "cover")
-    reps = int(os.environ.get("AICG_BENCH_REPS", 2))
+    reps = int(os.environ.get("AICG_BENCH_REPS", 1))
     if mode == "vc":
         seconds = float(os.environ.get("AICG_BENCH_SECONDS", 30))
         result = bench_vc(reps, seconds)
