@@ -162,3 +162,23 @@ def test_train_roundtrip_infer(tmp_path):
     out = np.asarray(audio)
     assert out.shape == (1, 1, T * TINY_CFG.upp)
     assert np.isfinite(out).all()
+
+
+def test_rvc_presets_consistency():
+    """Presets match the reference per-SR configs (src/configs/*.json):
+    upsample product equals hop (sr // 100), spec channels match the STFT."""
+    from aicovergen_tpu.models.rvc_presets import rvc_preset
+
+    for sr_name, sr in (("32k", 32000), ("40k", 40000), ("48k", 48000)):
+        for version in ("v1", "v2"):
+            cfg = rvc_preset(sr_name, version)
+            assert cfg.sr == sr and cfg.version == version
+            assert cfg.upp == sr // 100  # hop == 10 ms everywhere
+            expected_spec = (1024 if sr == 32000 else 2048) // 2 + 1
+            assert cfg.spec_channels == expected_spec
+            assert cfg.segment_size > 0
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        rvc_preset("44k")
