@@ -109,6 +109,27 @@ class CoverPipeline:
         # per-pipeline model caches (shared across worker threads)
         self._mdx_cache = {}
         self._mdx_lock = threading.Lock()
+        self._vc_cache = {}
+        self._vc_lock = threading.Lock()
+
+    def _get_voice_converter(self, voice_model: str):
+        """VoiceConverters are read-only after construction; cache them so
+        repeated covers with the same voice skip the checkpoint load and the
+        parameter upload (~30 s on a remote-TPU tunnel)."""
+        with self._vc_lock:
+            vc = self._vc_cache.get(voice_model)
+            if vc is None:
+                vc = build_voice_converter(
+                    self.store,
+                    voice_model,
+                    runtime=self.runtime,
+                    shard=self.shard,
+                    data_parallel=self._data_parallel,
+                )
+                if len(self._vc_cache) >= 4:  # bound device memory
+                    self._vc_cache.pop(next(iter(self._vc_cache)))
+                self._vc_cache[voice_model] = vc
+            return vc
 
     @property
     def _data_parallel(self) -> int:
@@ -288,13 +309,7 @@ class CoverPipeline:
         if not os.path.exists(ai_vocals_path):
             display_progress("[~] Converting voice using RVC...", 0.5, progress)
             with metrics.stage("vc/load"):
-                vc = build_voice_converter(
-                    self.store,
-                    voice_model,
-                    runtime=self.runtime,
-                    shard=self.shard,
-                    data_parallel=self._data_parallel,
-                )
+                vc = self._get_voice_converter(voice_model)
             vocal_mono = dereverb.mean(axis=0).astype(np.float32)
             vocal_16k = resample_poly_np(vocal_mono, SR_MDX, 16000)
             converted, out_sr = vc.convert(

@@ -137,6 +137,11 @@ def make_chunk_runner(
             weights = model_fn.cast(compute_dtype)
         weights = jax.device_put(weights)
 
+    # with reduced-precision compute, audio also crosses the host<->device
+    # boundary as f16: halves the bytes through a remote-TPU tunnel, and the
+    # ~1e-4 waveform quantization sits far below the separation targets
+    transfer_dtype = np.float16 if compute_dtype is not None else np.float32
+
     def net(call, spec):
         if compute_dtype is None:
             return call(spec)
@@ -144,15 +149,19 @@ def make_chunk_runner(
 
     @jax.jit
     def run_batch_w(w, x: jnp.ndarray) -> jnp.ndarray:
+        x = x.astype(jnp.float32)  # f32 on device: XLA FFTs are fp32
         spec = spec_pack(x, params.n_fft, params.hop, window, params.dim_f)
         out = net(lambda s: model_fn.apply(w, s), spec)
-        return spec_unpack(out, params.n_fft, params.hop, window, params.chunk_size)
+        y = spec_unpack(out, params.n_fft, params.hop, window, params.chunk_size)
+        return y.astype(transfer_dtype)
 
     @jax.jit
     def run_batch_plain(x: jnp.ndarray) -> jnp.ndarray:
+        x = x.astype(jnp.float32)
         spec = spec_pack(x, params.n_fft, params.hop, window, params.dim_f)
         out = net(model_fn, spec)
-        return spec_unpack(out, params.n_fft, params.hop, window, params.chunk_size)
+        y = spec_unpack(out, params.n_fft, params.hop, window, params.chunk_size)
+        return y.astype(transfer_dtype)
 
     def run_batch(x):
         if weights is not None:
@@ -167,6 +176,7 @@ def make_chunk_runner(
         # dispatch every batch first (jax async dispatch overlaps the
         # host<->device transfers and compute across batches), then gather
         pending = []
+        chunks = chunks.astype(transfer_dtype)
         for i in range(0, chunks.shape[0], batch_size):
             xb = jnp.asarray(chunks[i : i + batch_size])
             if shard is not None:

@@ -282,7 +282,12 @@ def main() -> int:
         seconds = float(os.environ.get("AICG_BENCH_SECONDS", 30))
         result = bench_vc(reps, seconds)
     else:
-        seconds = float(os.environ.get("AICG_BENCH_SECONDS", 240))
+        # 120 s default: long enough to exercise chunked separation + the
+        # multi-segment VC batch, short enough that warmup (dominated by the
+        # remote backend's per-program executable-load cost) plus one
+        # steady-state rep fits a ~10 min bench window.  AICG_BENCH_SECONDS=240
+        # for the full 4-minute BASELINE configuration.
+        seconds = float(os.environ.get("AICG_BENCH_SECONDS", 120))
         result = bench_cover(reps, seconds)
     print(json.dumps(result))
     return 0
