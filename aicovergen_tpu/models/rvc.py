@@ -259,15 +259,10 @@ def _resblock_stack(p, x, i: int, cfg: RVCConfig):
     return xs / num_kernels
 
 
-def generator_nsf(p, x, f0, g, cfg: RVCConfig, noise=None, rng=None):
-    """GeneratorNSF.forward (reference models.py:494-516).
-    x: (B, inter, T), f0: (B, T) Hz at frame rate, g: (B, gin, 1)."""
-    upp = cfg.upp
-    # the sine source's phase cumsum runs in f0's dtype (fp32); only the
-    # resulting waveform is cast down to the bf16 compute dtype of the convs
-    har_source = source_module(p["m_source"], f0.astype(jnp.float32), upp, cfg.sr, noise=noise, rng=rng)
-    har_source = jnp.swapaxes(har_source, 1, 2).astype(x.dtype)  # (B, 1, T*upp)
-
+def _nsf_stack(p, x, har_source, g, cfg: RVCConfig):
+    """The conv upsampling stack of GeneratorNSF (reference models.py:494-516)
+    given a precomputed harmonic source.  x: (B, inter, T),
+    har_source: (B, 1, T*upp), g: (B, gin, 1) or None."""
     x = conv1d(p["conv_pre"], x, padding=3)
     if g is not None:
         x = x + conv1d(p["cond"], g)
@@ -292,6 +287,69 @@ def generator_nsf(p, x, f0, g, cfg: RVCConfig, noise=None, rng=None):
     x = leaky_relu(x, 0.01)
     x = conv1d(p["conv_post"], x, padding=3)
     return jnp.tanh(x)
+
+
+# conservative halo (input frames) covering the stack's receptive field:
+# conv_pre(±3) + per-level resblocks (±60 level-samples -> shrunk by the
+# upsample strides) + conv_post(±3) works out to ~12 frames for the shipped
+# configs; 32 gives a wide safety margin at negligible cost.
+NSF_WINDOW_HALO = 32
+
+
+def generator_nsf_windowed(p, x, f0, g, cfg: RVCConfig, noise=None, rng=None,
+                           window_frames: int = 256):
+    """generator_nsf evaluated on fixed-size overlapping windows.
+
+    The sine source (phase cumsum — inherently global) is computed over the
+    full signal; the conv stack then runs on (B*n_windows, C, W + 2*halo)
+    blocks and the central W*upp samples are stitched back.  Because every
+    conv sees a static window-sized shape, the compiled program is
+    independent of the audio length — no per-length recompile, and the
+    executable stays small (the full-length program serializes to hundreds
+    of MB for minute-scale audio).  With halo >= the stack's receptive
+    field the result equals the unwindowed computation to fp precision.
+    """
+    b, c, t = x.shape
+    upp = cfg.upp
+    har = source_module(p["m_source"], f0.astype(jnp.float32), upp, cfg.sr,
+                        noise=noise, rng=rng)
+    har = jnp.swapaxes(har, 1, 2).astype(x.dtype)  # (B, 1, T*upp)
+
+    w = window_frames
+    h = NSF_WINDOW_HALO
+    n_win = -(-t // w)
+    t_pad = n_win * w
+
+    xp = jnp.pad(x, ((0, 0), (0, 0), (h, t_pad - t + h)))
+    hp = jnp.pad(har, ((0, 0), (0, 0), (h * upp, (t_pad - t + h) * upp)))
+
+    starts = jnp.arange(n_win) * w  # window starts in original frame coords
+    frame_idx = starts[:, None] + jnp.arange(w + 2 * h)[None, :]  # (N, W+2H)
+    xw = jnp.take(xp, frame_idx, axis=2)  # (B, C, N, W+2H)
+    xw = jnp.moveaxis(xw, 2, 1).reshape(b * n_win, c, w + 2 * h)
+    samp_idx = (starts * upp)[:, None] + jnp.arange((w + 2 * h) * upp)[None, :]
+    hw = jnp.take(hp, samp_idx, axis=2)
+    hw = jnp.moveaxis(hw, 2, 1).reshape(b * n_win, 1, (w + 2 * h) * upp)
+
+    gw = None
+    if g is not None:
+        gw = jnp.repeat(g, n_win, axis=0)  # (B*N, gin, 1)
+
+    out = _nsf_stack(p, xw, hw, gw, cfg)  # (B*N, 1, (W+2H)*upp)
+    out = out[:, :, h * upp : (h + w) * upp]
+    out = out.reshape(b, n_win, 1, w * upp).swapaxes(1, 2).reshape(b, 1, t_pad * upp)
+    return out[:, :, : t * upp]
+
+
+def generator_nsf(p, x, f0, g, cfg: RVCConfig, noise=None, rng=None):
+    """GeneratorNSF.forward (reference models.py:494-516).
+    x: (B, inter, T), f0: (B, T) Hz at frame rate, g: (B, gin, 1)."""
+    upp = cfg.upp
+    # the sine source's phase cumsum runs in f0's dtype (fp32); only the
+    # resulting waveform is cast down to the bf16 compute dtype of the convs
+    har_source = source_module(p["m_source"], f0.astype(jnp.float32), upp, cfg.sr, noise=noise, rng=rng)
+    har_source = jnp.swapaxes(har_source, 1, 2).astype(x.dtype)  # (B, 1, T*upp)
+    return _nsf_stack(p, x, har_source, g, cfg)
 
 
 def generator(p, x, g, cfg: RVCConfig):
@@ -326,12 +384,17 @@ def synthesizer_infer(
     rng: Optional[jax.Array] = None,
     zp_noise: Optional[jnp.ndarray] = None,
     sine_noise: Optional[jnp.ndarray] = None,
+    dec_window_frames: Optional[int] = None,
 ):
     """Full .infer(): returns (B, 1, T*upp) waveform.
 
     When `rng` is given, noise is drawn from it; explicit zp_noise /
     sine_noise arrays override (golden-test determinism).  With neither,
     noise is zero (deterministic mode).
+
+    dec_window_frames evaluates the NSF decoder in fixed-size windows
+    (generator_nsf_windowed): length-independent compiled programs for the
+    serving path.
     """
     g = embedding(params["emb_g"], sid)[:, :, None]  # (B, gin, 1)
     m_p, logs_p, x_mask = text_encoder(params["enc_p"], phone, pitch, phone_lengths, cfg)
@@ -348,6 +411,11 @@ def synthesizer_infer(
 
     if cfg.if_f0:
         assert nsff0 is not None
+        if dec_window_frames and z.shape[-1] > dec_window_frames:
+            return generator_nsf_windowed(
+                params["dec"], z, nsff0, g, cfg, noise=sine_noise, rng=rng,
+                window_frames=dec_window_frames,
+            )
         return generator_nsf(
             params["dec"], z, nsff0, g, cfg, noise=sine_noise, rng=rng
         )

@@ -121,6 +121,9 @@ def _synth_stage(
         sid,
         zp_noise=zp_noise,
         sine_noise=sine_noise,
+        # windowed NSF decoder: the compiled program (and its hundreds-of-MB
+        # serialized executable) stays independent of the segment length
+        dec_window_frames=256,
     )
     return audio[:, 0].astype(jnp.float32)
 

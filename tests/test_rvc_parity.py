@@ -82,3 +82,41 @@ def test_full_infer_parity_v1_nono():
     corr = np.corrcoef(ours.ravel(), ref.ravel())[0, 1]
     assert corr > 0.9999, f"waveform corr {corr}"
     np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=5e-4)
+
+
+def test_generator_nsf_windowed_matches_full():
+    """The windowed NSF decoder (fixed-size programs for serving) equals the
+    full-length computation everywhere except the global signal edges
+    (boundary-padding semantics), which the VC pipeline's t_pad trim zones
+    discard.  Interior must match to fp tolerance."""
+    from aicovergen_tpu.models.rvc import (
+        RVCConfig,
+        generator_nsf,
+        generator_nsf_windowed,
+    )
+    from aicovergen_tpu.models.rvc_train import init_synthesizer_params
+
+    cfg = RVCConfig(
+        spec_channels=33, segment_size=16, inter_channels=32, hidden_channels=32,
+        filter_channels=64, n_heads=2, n_layers=2, kernel_size=3, resblock="1",
+        resblock_kernel_sizes=(3, 7), resblock_dilation_sizes=((1, 3, 5), (1, 3, 5)),
+        upsample_rates=(10, 4, 2), upsample_initial_channel=64,
+        upsample_kernel_sizes=(16, 8, 4), spk_embed_dim=4, gin_channels=16,
+        sr=16000, version="v2", if_f0=True,
+    )
+    params = init_synthesizer_params(cfg, seed=3)["dec"]
+    rng = np.random.default_rng(4)
+    B, T = 2, 300
+    x = jnp.asarray(rng.standard_normal((B, cfg.inter_channels, T)).astype(np.float32) * 0.1)
+    f0 = jnp.asarray(rng.uniform(80, 400, (B, T)).astype(np.float32))
+    g = jnp.asarray(rng.standard_normal((B, cfg.gin_channels, 1)).astype(np.float32) * 0.1)
+
+    ref = np.asarray(generator_nsf(params, x, f0, g, cfg))
+    win = np.asarray(generator_nsf_windowed(params, x, f0, g, cfg, window_frames=128))
+    assert ref.shape == win.shape == (B, 1, T * cfg.upp)
+    # interior: exact to fp (skip one window of samples at each global edge)
+    edge = cfg.upp * 64
+    np.testing.assert_allclose(win[:, :, edge:-edge], ref[:, :, edge:-edge],
+                               rtol=1e-4, atol=1e-5)
+    # edges: bounded (these land in the VC pipeline's discarded trim zones)
+    assert np.abs(win - ref).max() < 0.05
