@@ -155,6 +155,15 @@ class VoiceConverter:
         b = self.runtime.bucket_samples
         return int(math.ceil(n / b) * b)
 
+    def _max_segment_bucket(self) -> int:
+        """Fixed bucket for split songs: consecutive minimum-energy split
+        points are at most x_center + 2*x_query apart, plus the 2*x_pad
+        reflect pads and the search window — so every multi-segment song
+        shares ONE compiled program regardless of where its splits land."""
+        rt = self.runtime
+        max_span = SR * (rt.x_center + 2 * rt.x_query + 2 * rt.x_pad) + WINDOW
+        return self._bucket_len(max_span)
+
     def _batch_rows(self, n_rows: int) -> int:
         """Pad the segment count to a power of two so the jit cache sees a
         handful of batch shapes instead of one per song length; under data
@@ -184,7 +193,10 @@ class VoiceConverter:
         large device program (SURVEY §2.2: segments are a leading batch
         dimension that parallel.mesh can shard)."""
         n_true = [s.shape[0] for s in segs]
-        nb = self._bucket_len(max(n_true))
+        if len(segs) > 1:
+            nb = self._max_segment_bucket()
+        else:
+            nb = self._bucket_len(n_true[0])
         rows = self._batch_rows(len(segs))
         batch = np.zeros((rows, nb), np.float32)
         valid = np.empty((rows,), np.int64)

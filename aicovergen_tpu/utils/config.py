@@ -33,7 +33,10 @@ class RuntimeConfig:
     # reference used fp16 on CUDA (src/rvc.py:29-75).
     use_bf16: bool = True
     # Static-shape bucketing granularity (samples at 16 kHz) for jit caches.
-    bucket_samples: int = 16000
+    # 8 s granularity: the minimum-energy split search shifts segment
+    # lengths by a few seconds between songs, and every distinct bucket is
+    # a fresh compile — coarse buckets make songs share programs.
+    bucket_samples: int = 128000
     # Devices used for data-parallel chunk batching; None = all.
     num_devices: int | None = None
 
@@ -54,6 +57,6 @@ def default_config() -> RuntimeConfig:
         x_center=int(env("AICG_X_CENTER", 60)),
         x_max=int(env("AICG_X_MAX", 65)),
         use_bf16=env("AICG_TPU_BF16", "1") != "0",
-        bucket_samples=int(env("AICG_BUCKET", 16000)),
+        bucket_samples=int(env("AICG_BUCKET", 128000)),
         num_devices=int(env("AICG_NUM_DEVICES", 0)) or None,
     )

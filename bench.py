@@ -267,6 +267,72 @@ def bench_vc(reps: int, seconds: float) -> dict:
     }
 
 
+def bench_vc_full(reps: int, seconds: float) -> dict:
+    """BASELINE config 3: mangio-crepe f0 + faiss retrieval blend +
+    filter_radius / rms_mix_rate / protect — the full flag surface."""
+    from aicovergen_tpu.convert.hubert_convert import transformers_state_to_tree
+    from aicovergen_tpu.convert.torch_reader import fold_weight_norm, nest
+    from aicovergen_tpu.models.crepe import init_random_params
+    from aicovergen_tpu.models.rvc import RVCConfig
+    from aicovergen_tpu.pipeline.f0 import F0Estimator
+    from aicovergen_tpu.pipeline.vc import VoiceConverter
+    from aicovergen_tpu.retrieval.faiss_io import FaissIndex
+    from aicovergen_tpu.retrieval.knn import Retriever
+    from aicovergen_tpu.utils.config import default_config
+    from aicovergen_tpu.utils.metrics import Metrics
+    from aicovergen_tpu.utils.precision import cast_floats
+
+    runtime = default_config()
+    synth_params = nest(fold_weight_norm(_load_flat(
+        os.path.join(FIXTURES, "rvc_synth_v2f0.npz"), drop_prefixes=("enc_q.",)
+    )))
+    hubert_params = transformers_state_to_tree(_load_flat(os.path.join(FIXTURES, "hubert_base.npz")))
+    if runtime.use_bf16:
+        synth_params = cast_floats(synth_params, runtime.compute_dtype)
+        hubert_params = cast_floats(hubert_params, runtime.compute_dtype)
+
+    rng = np.random.default_rng(0)
+    codebook = rng.standard_normal((20000, 768)).astype(np.float32)
+    index = FaissIndex(d=768, ntotal=20000, metric_type=1, vectors=codebook)
+    vc = VoiceConverter(
+        synth_params=synth_params,
+        synth_cfg=RVCConfig(version="v2", if_f0=True),
+        hubert_params=hubert_params,
+        f0_estimator=F0Estimator(crepe_params=init_random_params("full", 0)),
+        retriever=Retriever(index, exact=True),
+        runtime=runtime,
+    )
+    sr = 16000
+    t = np.arange(int(seconds * sr)) / sr
+    audio = (
+        0.3 * np.sin(2 * np.pi * (200 + 40 * np.sin(2 * np.pi * 0.4 * t)) * t)
+        + 0.02 * rng.standard_normal(t.shape[0])
+    ).astype(np.float64)
+    kwargs = dict(f0_method="mangio-crepe", crepe_hop_length=128, index_rate=0.5,
+                  filter_radius=3, rms_mix_rate=0.25, protect=0.33)
+
+    t0 = time.time()
+    vc.convert(audio, **kwargs)
+    print(f"[bench] warmup (incl. compile): {time.time() - t0:.1f}s", file=sys.stderr)
+    walls, reports = [], []
+    for _ in range(reps):
+        metrics = Metrics(audio_seconds=seconds)
+        t0 = time.time()
+        vc.convert(audio, metrics=metrics, **kwargs)
+        walls.append(time.time() - t0)
+        reports.append(metrics.report())
+    best = int(np.argmin(walls))
+    rtf = seconds / walls[best]
+    return {
+        "metric": f"vc_full_rtf_{int(seconds)}s",
+        "value": round(rtf, 3),
+        "unit": "audio_s_per_s",
+        "vs_baseline": round(rtf / BASELINE_RTF, 3),
+        "stages": {k: v["seconds"] for k, v in reports[best]["stages"].items()},
+        "reps_wall_s": [round(w, 2) for w in walls],
+    }
+
+
 def main() -> int:
     from aicovergen_tpu.utils.platform import apply_platform_env
 
@@ -281,6 +347,9 @@ def main() -> int:
     if mode == "vc":
         seconds = float(os.environ.get("AICG_BENCH_SECONDS", 30))
         result = bench_vc(reps, seconds)
+    elif mode == "vc_full":
+        seconds = float(os.environ.get("AICG_BENCH_SECONDS", 30))
+        result = bench_vc_full(max(reps, 1), seconds)
     else:
         # 120 s default: long enough to exercise chunked separation + the
         # multi-segment VC batch, short enough that warmup (dominated by the
