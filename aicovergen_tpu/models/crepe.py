@@ -59,7 +59,12 @@ def frame_audio(audio: np.ndarray, hop_length: int) -> np.ndarray:
 
 @functools.partial(jax.jit, static_argnames=("capacity",))
 def crepe_forward(params, frames: jnp.ndarray, capacity: str = "full") -> jnp.ndarray:
-    """(N, 1024) normalized frames -> (N, 360) sigmoid salience."""
+    """(N, 1024) normalized frames -> (N, 360) sigmoid salience.
+    Runs in the parameters' dtype (bf16 under mixed precision); the sigmoid
+    salience returns fp32 for the decode."""
+    from ..utils.precision import tree_dtype
+
+    frames = frames.astype(tree_dtype(params))
     x = frames[:, None, :, None]  # (N, 1, 1024, 1)
     for i, (_cf, _ct, k, s) in enumerate(_LAYERS):
         # torchcrepe pads: layer 1 (254, 254); others (31, 32)
@@ -75,7 +80,7 @@ def crepe_forward(params, frames: jnp.ndarray, capacity: str = "full") -> jnp.nd
             x, -jnp.inf, jax.lax.max, (1, 1, 2, 1), (1, 1, 2, 1), "VALID"
         )
     x = jnp.transpose(x, (0, 3, 2, 1)).reshape(x.shape[0], -1)
-    return jax.nn.sigmoid(linear(params["classifier"], x))
+    return jax.nn.sigmoid(linear(params["classifier"], x).astype(jnp.float32))
 
 
 def _triangular_transition() -> np.ndarray:

@@ -179,6 +179,13 @@ class F0Estimator:
         params = self._crepe[capacity]
         if params is None:
             raise RuntimeError(f"crepe-{capacity} weights not loaded")
+        if self._compute_dtype is not None:
+            # bf16 conv stack (same policy as rmvpe); decode stays fp32
+            from ..utils.precision import cast_floats, tree_dtype
+
+            if tree_dtype(params) != self._compute_dtype:
+                params = cast_floats(params, self._compute_dtype)
+                self._crepe[capacity] = params
         if mangio:
             # reference get_f0_crepe_computation (vc_infer_pipeline.py:96-137)
             x = x.astype(np.float32)

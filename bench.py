@@ -298,7 +298,10 @@ def bench_vc_full(reps: int, seconds: float) -> dict:
         synth_params=synth_params,
         synth_cfg=RVCConfig(version="v2", if_f0=True),
         hubert_params=hubert_params,
-        f0_estimator=F0Estimator(crepe_params=init_random_params("full", 0)),
+        f0_estimator=F0Estimator(
+            crepe_params=init_random_params("full", 0),
+            compute_dtype=runtime.compute_dtype if runtime.use_bf16 else None,
+        ),
         retriever=Retriever(index, exact=True),
         runtime=runtime,
     )
