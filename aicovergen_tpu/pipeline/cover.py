@@ -164,14 +164,30 @@ class CoverPipeline:
         return primary, complement
 
     def separate_song(
-        self, song_dir: str, base: str, orig: np.ndarray, progress=None, metrics=None
+        self,
+        song_dir: str,
+        base: str,
+        orig: np.ndarray,
+        progress=None,
+        metrics=None,
+        keep_files: bool = True,
     ):
         """3-stage separation chain (reference main.py:166-190). Returns dict
-        of stems (2, T) float32 at 44.1 kHz and writes the cache files."""
+        of stems (2, T) float32 at 44.1 kHz and writes the cache files.
+
+        The chain runs device-resident: orig uploads once, intermediate
+        stems stay in HBM between stages (the reference round-trips WAV
+        files), and only the stems that are kept get downloaded.  Without
+        keep_files the doomed intermediates (Vocals, Vocals_Main — deleted
+        at the end of the reference pipeline, main.py:304-311) are neither
+        downloaded nor written."""
+        import jax.numpy as jnp
+
         metrics = metrics or Metrics()
+        orig_dev = jnp.asarray(orig)
         display_progress("[~] Separating Vocals from Instrumental...", 0.1, progress)
         with metrics.stage("separate/vocals"):
-            vocals, instrumental = self._run_separation(orig, "UVR-MDX-NET-Voc_FT.onnx")
+            vocals, instrumental = self._run_separation(orig_dev, "UVR-MDX-NET-Voc_FT.onnx")
         display_progress("[~] Separating Main Vocals from Backup Vocals...", 0.2, progress)
         with metrics.stage("separate/karaoke"):
             backup, main = self._run_separation(vocals, "UVR_MDXNET_KARA_2.onnx")
@@ -179,13 +195,19 @@ class CoverPipeline:
         with metrics.stage("separate/dereverb"):
             _reverb, dereverb = self._run_separation(main, "Reverb_HQ_By_FoxJoy.onnx")
 
-        stems = {
-            "Vocals": vocals,
-            "Instrumental": instrumental,
-            "Vocals_Backup": backup,
-            "Vocals_Main": main,
-            "Vocals_Main_DeReverb": dereverb,
-        }
+        with metrics.stage("separate/fetch"):
+            stems = {
+                "Instrumental": instrumental,
+                "Vocals_Backup": backup,
+                "Vocals_Main_DeReverb": dereverb,
+            }
+            if keep_files:
+                stems["Vocals"] = vocals
+                stems["Vocals_Main"] = main
+            # f16 over the tunnel; WAV cache is 16-bit PCM anyway
+            stems = {
+                k: np.asarray(v.astype(jnp.float16), np.float32) for k, v in stems.items()
+            }
         for suffix, audio in stems.items():
             write_wav(os.path.join(song_dir, f"{base}_{suffix}.wav"), audio, SR_MDX)
         return stems
@@ -292,7 +314,9 @@ class CoverPipeline:
                     wave = resample_poly_np(wave.astype(np.float32), sr, SR_MDX)
                 orig = to_stereo(wave).astype(np.float32)
                 write_wav(os.path.join(song_dir, f"{base}.wav"), orig, SR_MDX)
-            stems = self.separate_song(song_dir, base, orig, progress, metrics=metrics)
+            stems = self.separate_song(
+                song_dir, base, orig, progress, metrics=metrics, keep_files=keep_files
+            )
             instrumental = stems["Instrumental"]
             dereverb = stems["Vocals_Main_DeReverb"]
             backup = stems["Vocals_Backup"]

@@ -101,9 +101,23 @@ def chunk_wave(wave: np.ndarray, params: MDXParams) -> tuple[np.ndarray, int]:
     return chunks.astype(np.float32), pad
 
 
-def join_chunks(out_chunks: np.ndarray, params: MDXParams, n_sample: int) -> np.ndarray:
+def chunk_wave_device(wave: jnp.ndarray, params: MDXParams) -> tuple[jnp.ndarray, int]:
+    """Device-side chunk_wave: keeps intermediate stems in HBM when
+    separations chain (the reference round-trips WAV files between stages,
+    src/main.py:166-190; here audio never leaves the device)."""
+    n_sample = wave.shape[1]
+    trim = params.trim
+    gen_size = params.chunk_size - 2 * trim
+    pad = gen_size - n_sample % gen_size
+    wave_p = jnp.pad(wave, ((0, 0), (trim, pad + trim)))
+    starts = np.arange(0, n_sample + pad, gen_size)
+    idx = starts[:, None] + np.arange(params.chunk_size)[None, :]  # (C, chunk)
+    return jnp.take(wave_p, jnp.asarray(idx), axis=1).swapaxes(0, 1), pad
+
+
+def join_chunks(out_chunks, params: MDXParams, n_sample: int):
     """(num_chunks, 2, chunk_size) -> (2, n_sample): trim edges, concat,
-    drop padding (reference src/mdx.py:195-197)."""
+    drop padding (reference src/mdx.py:195-197).  Works on numpy or jnp."""
     trim = params.trim
     body = out_chunks[:, :, trim:-trim]  # (C, 2, gen_size)
     joined = body.transpose(1, 0, 2).reshape(2, -1)
@@ -168,15 +182,21 @@ def make_chunk_runner(
             return run_batch_w(weights, x)
         return run_batch_plain(x)
 
-    def run(chunks: np.ndarray, denoise: bool = False) -> np.ndarray:
+    def run(chunks, denoise: bool = False):
+        """chunks: (C, 2, chunk) numpy (host path, f16 over the wire) or jnp
+        (device-resident path: no boundary crossing at all).  Returns the
+        same kind it was given."""
+        on_device = isinstance(chunks, jnp.ndarray)
         n = chunks.shape[0]
         pad_n = (-n) % batch_size
         if pad_n:
-            chunks = np.concatenate([chunks, np.zeros_like(chunks[:pad_n])], axis=0)
+            xnp = jnp if on_device else np
+            chunks = xnp.concatenate([chunks, xnp.zeros_like(chunks[:pad_n])], axis=0)
         # dispatch every batch first (jax async dispatch overlaps the
         # host<->device transfers and compute across batches), then gather
         pending = []
-        chunks = chunks.astype(transfer_dtype)
+        if not on_device:
+            chunks = chunks.astype(transfer_dtype)
         for i in range(0, chunks.shape[0], batch_size):
             xb = jnp.asarray(chunks[i : i + batch_size])
             if shard is not None:
@@ -189,6 +209,8 @@ def make_chunk_runner(
             else:
                 yb = run_batch(xb)
             pending.append(yb)
+        if on_device:
+            return jnp.concatenate(pending, axis=0)[:n].astype(jnp.float32)
         outs = [np.asarray(yb, dtype=np.float32) for yb in pending]
         return np.concatenate(outs, axis=0)[:n]
 
@@ -203,16 +225,25 @@ def separate(
     batch_size: int = 8,
     shard=None,
     compute_dtype=None,
-) -> tuple[np.ndarray, np.ndarray]:
+):
     """Full separation of (2, n) float audio.
 
     Returns (primary_stem, complement_stem) where
     complement = -primary*compensation + input (reference src/mdx.py:280).
+
+    A jnp input keeps the whole computation (chunking, net, join,
+    complement) on device and returns jnp stems — chained separations
+    never cross the host boundary (the reference round-trips WAV files
+    between its three stages).
     """
-    wave = np.asarray(wave, np.float32)
-    peak = max(float(wave.max()), abs(float(wave.min()))) or 1.0
-    norm = wave / peak
-    chunks, _pad = chunk_wave(norm, params)
+    if isinstance(wave, jnp.ndarray):
+        wave = wave.astype(jnp.float32)
+        peak = jnp.maximum(jnp.max(jnp.abs(wave)), 1e-12)
+        chunks, _pad = chunk_wave_device(wave / peak, params)
+    else:
+        wave = np.asarray(wave, np.float32)
+        peak = max(float(wave.max()), abs(float(wave.min()))) or 1.0
+        chunks, _pad = chunk_wave(wave / peak, params)
     runner = make_chunk_runner(
         model_fn, params, batch_size=batch_size, shard=shard, compute_dtype=compute_dtype
     )

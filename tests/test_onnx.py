@@ -181,3 +181,21 @@ def test_conv_tdf_replica_through_separation(tmp_path):
     primary, complement = separate(wave, model_fn, params, denoise=True, batch_size=4)
     assert primary.shape == wave.shape and complement.shape == wave.shape
     assert np.isfinite(primary).all() and np.isfinite(complement).all()
+
+
+def test_separate_device_path_matches_host_path(tmp_path):
+    """A jnp input runs the device-resident chunk/join/complement path;
+    results must equal the host-numpy path."""
+    from aicovergen_tpu.pipeline.separate import MDXParams, separate
+
+    params = MDXParams(dim_f=128, dim_t=32, n_fft=512, hop=256, compensation=1.02)
+    rng = np.random.default_rng(5)
+    wave = rng.standard_normal((2, params.chunk_size * 3 + 123)).astype(np.float32) * 0.3
+    model_fn = lambda spec: spec * 0.5
+
+    p_host, c_host = separate(wave, model_fn, params, denoise=True, batch_size=4)
+    p_dev, c_dev = separate(jnp.asarray(wave), model_fn, params, denoise=True, batch_size=4)
+    assert not isinstance(p_host, jnp.ndarray)
+    assert isinstance(p_dev, jnp.ndarray)
+    np.testing.assert_allclose(np.asarray(p_dev), p_host, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(c_dev), c_host, atol=1e-5)
