@@ -114,3 +114,25 @@ def test_pitch_shift_frequency_doubles():
     assert abs(peak_hz - 400) < 10, peak_hz
     # zero shift is the identity
     np.testing.assert_array_equal(np.asarray(pitch_shift(jnp.asarray(x), sr, 0)), x)
+
+
+def test_pallas_freeverb_matches_scan():
+    """The fused Pallas Freeverb kernel (interpret mode on CPU) must equal
+    the scan implementation sample-for-sample."""
+    from aicovergen_tpu.ops.reverb import freeverb
+    from aicovergen_tpu.ops.reverb_pallas import HAVE_PALLAS, freeverb_pallas
+
+    if not HAVE_PALLAS:
+        pytest.skip("pallas unavailable")
+    rng = np.random.default_rng(3)
+    sr = 44100
+    audio = rng.standard_normal((2, sr)).astype(np.float32) * 0.3
+    ref = np.asarray(freeverb(jnp.asarray(audio), sr, 0.15, 0.7, 0.2, 0.8))
+    out = np.asarray(freeverb_pallas(jnp.asarray(audio), sr, 0.15, 0.7, 0.2, 0.8))
+    np.testing.assert_allclose(out, ref, atol=1e-5)
+
+    # mono path too
+    mono = audio[0]
+    ref1 = np.asarray(freeverb(jnp.asarray(mono), sr, 0.5, 0.5, 0.33, 0.4))
+    out1 = np.asarray(freeverb_pallas(jnp.asarray(mono), sr, 0.5, 0.5, 0.33, 0.4))
+    np.testing.assert_allclose(out1, ref1, atol=1e-5)
