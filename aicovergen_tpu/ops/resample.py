@@ -37,27 +37,59 @@ def _kaiser_sinc_kernel(up: int, down: int, dtype=np.float32) -> np.ndarray:
     n = 2 * half_len + 1
     t = np.arange(n) - half_len
     kernel = f_c * np.sinc(f_c * t) * np.kaiser(n, 5.0)
+    # firwin-style DC normalization (scipy scales the passband gain to 1)
+    kernel /= kernel.sum()
     return (kernel * up).astype(dtype)
+
+
+@functools.lru_cache(maxsize=16)
+def _polyphase_bank(up: int, down: int):
+    """Decompose the upfirdn FIR into a frame filter bank.
+
+    Output sample m = b*up + p of upfirdn(x, h, up, down) is
+    ``sum_i x[b*down + i] * h[half_len - p*down + i*up]`` — so one frame of
+    ``down + 2*margin`` input samples produces ``up`` output samples via a
+    single (up, width) matmul.  This skips the zero-stuffed positions the
+    dilated-conv formulation multiplies explicitly (~up/taps x fewer MACs)
+    and maps onto the MXU as a plain matmul.
+    """
+    h = _kaiser_sinc_kernel(up, down, dtype=np.float32)
+    L = h.shape[0]
+    half_len = (L - 1) // 2
+    margin = half_len // up + 1
+    width = down + 2 * margin
+    p = np.arange(up)[:, None]
+    i = np.arange(width)[None, :] - margin
+    idx = half_len - p * down + i * up
+    valid = (idx >= 0) & (idx < L)
+    bank = np.where(valid, h[np.clip(idx, 0, L - 1)], 0.0).astype(np.float32)
+    return bank, margin, width
 
 
 @functools.partial(jax.jit, static_argnames=("up", "down"))
 def _resample_jax(x: jnp.ndarray, up: int, down: int) -> jnp.ndarray:
-    h = jnp.asarray(_kaiser_sinc_kernel(up, down))
-    half_len = (h.shape[0] - 1) // 2
-    batch_shape = x.shape[:-1]
+    bank, margin, width = _polyphase_bank(up, down)
     length = x.shape[-1]
-    xb = x.reshape((-1, 1, length))
-    # upsample by zero-stuffing via lhs_dilation, filter, then stride by down
-    y = jax.lax.conv_general_dilated(
-        xb,
-        h[None, None, :],
-        window_strides=(down,),
-        padding=[(half_len, half_len + up - 1)],
-        lhs_dilation=(up,),
-        dimension_numbers=("NCH", "OIH", "NCH"),
+    out_len = -(-length * up // down)  # ceil, == scipy.resample_poly
+    n_frames = -(-out_len // up)
+    # frame starts: b*down - margin; pad so every gathered window is in range
+    pad_right = max(0, (n_frames - 1) * down + width - margin - length)
+    xp = jnp.pad(
+        x, [(0, 0)] * (x.ndim - 1) + [(margin, pad_right)]
     )
-    out_len = -(-length * up // down)  # ceil
-    return y.reshape(batch_shape + (y.shape[-1],))[..., :out_len]
+    # indices generated in-graph (iota), not baked as a large int constant
+    idx = jnp.arange(n_frames, dtype=jnp.int32)[:, None] * down + jnp.arange(
+        width, dtype=jnp.int32
+    )[None, :]
+    frames = jnp.take(xp, idx, axis=-1)  # (..., n_frames, width)
+    y = jnp.einsum(
+        "...bq,pq->...bp", frames, jnp.asarray(bank),
+        # true-f32 accumulation: the measured backends execute
+        # default-precision f32 dots as bf16, which is audible (-42 dB)
+        precision=jax.lax.Precision.HIGHEST,
+        preferred_element_type=jnp.float32,
+    )
+    return y.reshape(x.shape[:-1] + (n_frames * up,))[..., :out_len]
 
 
 def resample(x: jnp.ndarray, sr_in: int, sr_out: int) -> jnp.ndarray:

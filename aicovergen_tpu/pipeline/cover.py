@@ -30,13 +30,41 @@ from ..io.audio import load_audio, save_audio, to_stereo, write_wav
 from ..ops.resample import resample_poly_np
 from ..utils.config import RuntimeConfig, default_config
 from ..utils.hashing import file_hash_blake2b
+from ..utils.host_io import AsyncWriter
 from ..utils.metrics import Metrics, profile_trace
 from ..utils.progress import ProgressFn, display_progress
-from .effects import add_audio_effects, combine_audio, pitch_shift_all
+from .effects import (
+    add_audio_effects_device,
+    combine_audio_device,
+    quantize_int16,
+    to_stereo_device,
+)
 from .loader import build_voice_converter
 from .separate import separate
 
 SR_MDX = 44100
+
+
+def _sync(x) -> None:
+    """Force execution of a device array (honest stage timings: on the
+    remote-TPU backend block_until_ready can return before the computation
+    lands, so fetch a scalar that depends on it)."""
+    import jax.numpy as jnp
+
+    float(jnp.sum(x[..., :2]))
+
+
+def _pad_last(x, target: int):
+    """Zero-pad the last axis of a device array to `target` samples."""
+    import jax.numpy as jnp
+
+    pad = target - x.shape[-1]
+    widths = [(0, 0)] * (x.ndim - 1) + [(0, pad)]
+    return jnp.pad(x, widths)
+
+
+def _bucket_len(n: int, bucket: int) -> int:
+    return max(1, -(-n // bucket)) * bucket
 
 
 def get_youtube_video_id(url: str, ignore_playlist: bool = True) -> Optional[str]:
@@ -171,45 +199,60 @@ class CoverPipeline:
         progress=None,
         metrics=None,
         keep_files: bool = True,
+        writer: Optional[AsyncWriter] = None,
     ):
         """3-stage separation chain (reference main.py:166-190). Returns dict
-        of stems (2, T) float32 at 44.1 kHz and writes the cache files.
+        of DEVICE stems (2, T) float32 at 44.1 kHz; cache WAVs are written by
+        `writer` in the background (synchronously when writer is None).
 
-        The chain runs device-resident: orig uploads once, intermediate
-        stems stay in HBM between stages (the reference round-trips WAV
-        files), and only the stems that are kept get downloaded.  Without
-        keep_files the doomed intermediates (Vocals, Vocals_Main — deleted
-        at the end of the reference pipeline, main.py:304-311) are neither
-        downloaded nor written."""
+        The chain runs device-resident: orig uploads once (f16 over the
+        tunnel), intermediate stems stay in HBM between stages (the reference
+        round-trips WAV files), and cache downloads happen as device-quantized
+        int16 — exactly the PCM bytes the WAV holds, half the f32 transfer —
+        overlapped with the stages that follow.  Without keep_files the doomed
+        intermediates (Vocals, Vocals_Main — deleted at the end of the
+        reference pipeline, main.py:304-311) are neither downloaded nor
+        written."""
         import jax.numpy as jnp
 
         metrics = metrics or Metrics()
-        orig_dev = jnp.asarray(orig)
+        orig_dev = jnp.asarray(orig.astype(np.float16)).astype(jnp.float32)
         display_progress("[~] Separating Vocals from Instrumental...", 0.1, progress)
         with metrics.stage("separate/vocals"):
             vocals, instrumental = self._run_separation(orig_dev, "UVR-MDX-NET-Voc_FT.onnx")
+            _sync(vocals)
         display_progress("[~] Separating Main Vocals from Backup Vocals...", 0.2, progress)
         with metrics.stage("separate/karaoke"):
             backup, main = self._run_separation(vocals, "UVR_MDXNET_KARA_2.onnx")
+            _sync(main)
         display_progress("[~] Applying DeReverb to Vocals...", 0.3, progress)
         with metrics.stage("separate/dereverb"):
             _reverb, dereverb = self._run_separation(main, "Reverb_HQ_By_FoxJoy.onnx")
+            _sync(dereverb)
 
-        with metrics.stage("separate/fetch"):
-            stems = {
-                "Instrumental": instrumental,
-                "Vocals_Backup": backup,
-                "Vocals_Main_DeReverb": dereverb,
-            }
-            if keep_files:
-                stems["Vocals"] = vocals
-                stems["Vocals_Main"] = main
-            # f16 over the tunnel; WAV cache is 16-bit PCM anyway
-            stems = {
-                k: np.asarray(v.astype(jnp.float16), np.float32) for k, v in stems.items()
-            }
+        stems = {
+            "Instrumental": instrumental,
+            "Vocals_Backup": backup,
+            "Vocals_Main_DeReverb": dereverb,
+        }
+        if keep_files:
+            stems["Vocals"] = vocals
+            stems["Vocals_Main"] = main
         for suffix, audio in stems.items():
-            write_wav(os.path.join(song_dir, f"{base}_{suffix}.wav"), audio, SR_MDX)
+            path = os.path.join(song_dir, f"{base}_{suffix}.wav")
+            q = quantize_int16(audio)
+            try:  # start the device->host copy now; the writer consumes it
+                q.copy_to_host_async()
+            except Exception:
+                pass
+
+            def _write(path=path, q=q):
+                write_wav(path, np.asarray(q), SR_MDX)
+
+            if writer is not None:
+                writer.submit(_write)
+            else:
+                _write()
         return stems
 
     # ---------------------------------------------------------------- cover
@@ -301,102 +344,162 @@ class CoverPipeline:
                 os.path.exists(stem_path(s))
                 for s in ("Instrumental", "Vocals_Main_DeReverb", "Vocals_Backup")
             )
-        if cached and not keep_files:
-            from ..io.audio import read_wav
+        import jax.numpy as jnp
+        from ..ops.pitchshift import pitch_shift
+        from ..ops.resample import resample
 
-            instrumental, _ = read_wav(stem_path("Instrumental"))
-            dereverb, _ = read_wav(stem_path("Vocals_Main_DeReverb"))
-            backup, _ = read_wav(stem_path("Vocals_Backup"))
-        else:
-            with metrics.stage("decode"):
-                wave, sr = load_audio(song_path, sr=None, mono=False)
-                if sr != SR_MDX:
-                    wave = resample_poly_np(wave.astype(np.float32), sr, SR_MDX)
-                orig = to_stereo(wave).astype(np.float32)
-                write_wav(os.path.join(song_dir, f"{base}.wav"), orig, SR_MDX)
-            stems = self.separate_song(
-                song_dir, base, orig, progress, metrics=metrics, keep_files=keep_files
+        def as_device(x):
+            """Upload host stems f16 over the tunnel (they come from / go to
+            16-bit PCM caches; the ~1e-4 quantization is below that floor)."""
+            if isinstance(x, jnp.ndarray):
+                return x
+            return jnp.asarray(np.asarray(x, np.float32).astype(np.float16)).astype(
+                jnp.float32
             )
-            instrumental = stems["Instrumental"]
-            dereverb = stems["Vocals_Main_DeReverb"]
-            backup = stems["Vocals_Backup"]
-        metrics.audio_seconds = instrumental.shape[-1] / SR_MDX
 
-        # --- voice conversion (main.py:285-291)
-        pitch_semitones = pitch_change * 12 + pitch_change_all
-        hop_tag = "" if f0_method != "mangio-crepe" else f"_{crepe_hop_length}"
-        ai_vocals_name = (
-            f"{base}_{voice_model}_p{pitch_semitones}_i{index_rate}_fr{filter_radius}"
-            f"_rms{rms_mix_rate}_pro{protect}_{f0_method}{hop_tag}.wav"
-        )
-        ai_vocals_path = os.path.join(song_dir, ai_vocals_name)
-        if not os.path.exists(ai_vocals_path):
-            display_progress("[~] Converting voice using RVC...", 0.5, progress)
-            with metrics.stage("vc/load"):
-                vc = self._get_voice_converter(voice_model)
-            vocal_mono = dereverb.mean(axis=0).astype(np.float32)
-            vocal_16k = resample_poly_np(vocal_mono, SR_MDX, 16000)
-            converted, out_sr = vc.convert(
-                vocal_16k.astype(np.float64),
-                # float semitones: predict.py-style fractional pitch_change_all
-                # must not be truncated on the vocal path (reference
-                # predict.py:216-222 passes floats through)
-                f0_up_key=pitch_semitones,
-                f0_method=f0_method,
-                index_rate=index_rate,
-                filter_radius=filter_radius,
-                rms_mix_rate=rms_mix_rate,
-                protect=protect,
-                crepe_hop_length=crepe_hop_length,
-                metrics=metrics,
+        # the writer overlaps cache-file downloads/writes with device compute;
+        # the context join surfaces writer errors and guarantees every cache
+        # file exists before this returns (or gets cleaned up below)
+        with AsyncWriter() as writer:
+            if cached and not keep_files:
+                from ..io.audio import read_wav
+
+                instrumental, _ = read_wav(stem_path("Instrumental"))
+                dereverb, _ = read_wav(stem_path("Vocals_Main_DeReverb"))
+                backup, _ = read_wav(stem_path("Vocals_Backup"))
+            else:
+                with metrics.stage("decode"):
+                    wave, sr = load_audio(song_path, sr=None, mono=False)
+                    if sr != SR_MDX:
+                        wave = resample_poly_np(wave.astype(np.float32), sr, SR_MDX)
+                    orig = to_stereo(wave).astype(np.float32)
+                    writer.submit(
+                        write_wav, os.path.join(song_dir, f"{base}.wav"), orig, SR_MDX
+                    )
+                stems = self.separate_song(
+                    song_dir, base, orig, progress,
+                    metrics=metrics, keep_files=keep_files, writer=writer,
+                )
+                instrumental = stems["Instrumental"]
+                dereverb = stems["Vocals_Main_DeReverb"]
+                backup = stems["Vocals_Backup"]
+            metrics.audio_seconds = instrumental.shape[-1] / SR_MDX
+
+            # --- voice conversion (main.py:285-291)
+            pitch_semitones = pitch_change * 12 + pitch_change_all
+            hop_tag = "" if f0_method != "mangio-crepe" else f"_{crepe_hop_length}"
+            ai_vocals_name = (
+                f"{base}_{voice_model}_p{pitch_semitones}_i{index_rate}_fr{filter_radius}"
+                f"_rms{rms_mix_rate}_pro{protect}_{f0_method}{hop_tag}.wav"
             )
-            write_wav(ai_vocals_path, converted[None, :], out_sr)
-            del vc
-            gc.collect()
+            ai_vocals_path = os.path.join(song_dir, ai_vocals_name)
+            if not os.path.exists(ai_vocals_path):
+                display_progress("[~] Converting voice using RVC...", 0.5, progress)
+                with metrics.stage("vc/load"):
+                    vc = self._get_voice_converter(voice_model)
+                with metrics.stage("vc/prep"):
+                    if isinstance(dereverb, jnp.ndarray):
+                        # mono + 16 kHz on device; only the small 16 kHz track
+                        # crosses to host (the split search / f0 need it there)
+                        vocal_16k = np.asarray(
+                            resample(jnp.mean(dereverb, axis=0), SR_MDX, 16000),
+                            np.float64,
+                        )
+                    else:
+                        vocal_mono = dereverb.mean(axis=0).astype(np.float32)
+                        vocal_16k = resample_poly_np(vocal_mono, SR_MDX, 16000).astype(
+                            np.float64
+                        )
+                converted_dev, ai_sr = vc.convert(
+                    vocal_16k,
+                    # float semitones: predict.py-style fractional pitch_change_all
+                    # must not be truncated on the vocal path (reference
+                    # predict.py:216-222 passes floats through)
+                    f0_up_key=pitch_semitones,
+                    f0_method=f0_method,
+                    index_rate=index_rate,
+                    filter_radius=filter_radius,
+                    rms_mix_rate=rms_mix_rate,
+                    protect=protect,
+                    crepe_hop_length=crepe_hop_length,
+                    metrics=metrics,
+                    output="device_int16",
+                )
+                try:
+                    converted_dev.copy_to_host_async()
+                except Exception:
+                    pass
+                writer.submit(
+                    lambda p=ai_vocals_path, a=converted_dev, s=ai_sr: write_wav(
+                        p, np.asarray(a)[None, :], s
+                    )
+                )
+                ai_float = converted_dev.astype(jnp.float32)[None, :] / 32768.0
+                del vc
+                gc.collect()
+            else:
+                from ..io.audio import read_wav
 
-        from ..io.audio import read_wav
+                ai_vocals, ai_sr = read_wav(ai_vocals_path)
+                ai_float = as_device(ai_vocals)
 
-        ai_vocals, ai_sr = read_wav(ai_vocals_path)
+            # --- effects (main.py:293-294); zero-pad to a 32 s length bucket
+            # so each new song length reuses the compiled effects chain (the
+            # chain is causal, so pad+trim is exact)
+            display_progress("[~] Applying audio effects to Vocals...", 0.8, progress)
+            with metrics.stage("effects"):
+                n_ai = ai_float.shape[-1]
+                ai_b = _pad_last(ai_float, _bucket_len(n_ai, ai_sr * 32))
+                ai_vocals_mixed = add_audio_effects_device(
+                    ai_b, ai_sr, reverb_rm_size, reverb_wet, reverb_dry, reverb_damping
+                )[..., :n_ai]
+                _sync(ai_vocals_mixed)
+            mixed_path = os.path.splitext(ai_vocals_path)[0] + "_mixed.wav"
+            if keep_files:
+                # without keep_files the reference deletes this file at the end
+                # of the run (main.py:304-311) — skip producing it at all
+                q = quantize_int16(ai_vocals_mixed)
+                writer.submit(
+                    lambda p=mixed_path, a=q, s=ai_sr: write_wav(p, np.asarray(a), s)
+                )
 
-        # --- effects (main.py:293-294); zero-pad to a 32 s length bucket so
-        # each new song length reuses the compiled effects chain (the chain
-        # is causal, so pad+trim is exact)
-        from ..utils.precision import pad_to_bucket
+            # --- global pitch shift (main.py:296-299)
+            instrumental = as_device(instrumental)
+            backup = as_device(backup)
+            if pitch_change_all != 0:
+                display_progress("[~] Applying overall pitch change", 0.85, progress)
+                with metrics.stage("pitch_shift_all"):
+                    n_inst = instrumental.shape[-1]
+                    inst_b = _pad_last(instrumental, _bucket_len(n_inst, SR_MDX * 32))
+                    instrumental = pitch_shift(inst_b, SR_MDX, pitch_change_all)[..., :n_inst]
+                    n_bk = backup.shape[-1]
+                    bk_b = _pad_last(backup, _bucket_len(n_bk, SR_MDX * 32))
+                    backup = pitch_shift(bk_b, SR_MDX, pitch_change_all)[..., :n_bk]
 
-        display_progress("[~] Applying audio effects to Vocals...", 0.8, progress)
-        with metrics.stage("effects"):
-            ai_b, n_ai = pad_to_bucket(ai_vocals, ai_sr * 32, mode="constant")
-            ai_vocals_mixed = add_audio_effects(
-                ai_b, ai_sr, reverb_rm_size, reverb_wet, reverb_dry, reverb_damping
-            )[..., :n_ai]
-        mixed_path = os.path.splitext(ai_vocals_path)[0] + "_mixed.wav"
-        write_wav(mixed_path, ai_vocals_mixed, ai_sr)
+            # --- mixdown (main.py:301-302): align rates to 44.1k; everything
+            # stays in HBM and only the final int16 mix crosses to host
+            display_progress("[~] Combining AI Vocals and Instrumentals...", 0.9, progress)
+            with metrics.stage("mixdown"):
+                if ai_sr != SR_MDX:
+                    n_ai = ai_vocals_mixed.shape[-1]
+                    ai_b = _pad_last(ai_vocals_mixed, _bucket_len(n_ai, ai_sr * 32))
+                    n_44 = -(-n_ai * SR_MDX // ai_sr)  # ceil, == resample_poly len
+                    ai_vocals_mixed = resample(ai_b, ai_sr, SR_MDX)[..., :n_44]
+                mix = combine_audio_device(
+                    to_stereo_device(ai_vocals_mixed),
+                    to_stereo_device(backup),
+                    to_stereo_device(instrumental),
+                    main_gain,
+                    backup_gain,
+                    inst_gain,
+                )
+                mix_i16 = np.asarray(quantize_int16(mix))
+                cover_path = os.path.join(
+                    song_dir, f"{base} ({voice_model} Ver).{output_format}"
+                )
+                cover_path = save_audio(cover_path, mix_i16, SR_MDX, output_format)
 
-        # --- global pitch shift (main.py:296-299)
-        if pitch_change_all != 0:
-            display_progress("[~] Applying overall pitch change", 0.85, progress)
-            with metrics.stage("pitch_shift_all"):
-                inst_b, n_inst = pad_to_bucket(instrumental, SR_MDX * 32, mode="constant")
-                instrumental = pitch_shift_all(inst_b, SR_MDX, pitch_change_all)[..., :n_inst]
-                bk_b, n_bk = pad_to_bucket(backup, SR_MDX * 32, mode="constant")
-                backup = pitch_shift_all(bk_b, SR_MDX, pitch_change_all)[..., :n_bk]
-
-        # --- mixdown (main.py:301-302): align rates to 44.1k
-        display_progress("[~] Combining AI Vocals and Instrumentals...", 0.9, progress)
-        with metrics.stage("mixdown"):
-            if ai_sr != SR_MDX:
-                ai_vocals_mixed = resample_poly_np(ai_vocals_mixed, ai_sr, SR_MDX)
-            mix = combine_audio(
-                to_stereo(ai_vocals_mixed),
-                to_stereo(backup),
-                to_stereo(instrumental),
-                main_gain,
-                backup_gain,
-                inst_gain,
-            )
-            cover_path = os.path.join(song_dir, f"{base} ({voice_model} Ver).{output_format}")
-            cover_path = save_audio(cover_path, mix, SR_MDX, output_format)
-
+            writer.join()  # cache files must exist before cleanup/return
         if not keep_files:
             display_progress("[~] Removing intermediate audio files...", 0.95, progress)
             for path in (stem_path("Vocals"), stem_path("Vocals_Main"), mixed_path):

@@ -21,16 +21,16 @@ from ..ops.pitchshift import pitch_shift
 from ..ops.reverb import freeverb
 
 
-def add_audio_effects(
-    audio: np.ndarray,
+def add_audio_effects_device(
+    audio: jnp.ndarray,
     sr: int,
     reverb_rm_size: float = 0.15,
     reverb_wet: float = 0.2,
     reverb_dry: float = 0.8,
     reverb_damping: float = 0.7,
-) -> np.ndarray:
-    """(C, T) float -> processed (C, T)."""
-    x = jnp.asarray(audio, jnp.float32)
+) -> jnp.ndarray:
+    """(C, T) device float -> processed (C, T), fully in HBM."""
+    x = audio.astype(jnp.float32)
     x = highpass_1st_order(x, sr)
     x = compressor(x, sr, threshold_db=-15.0, ratio=4.0)
     x = _reverb(
@@ -40,6 +40,22 @@ def add_audio_effects(
         damping=reverb_damping,
         wet_level=reverb_wet,
         dry_level=reverb_dry,
+    )
+    return x
+
+
+def add_audio_effects(
+    audio: np.ndarray,
+    sr: int,
+    reverb_rm_size: float = 0.15,
+    reverb_wet: float = 0.2,
+    reverb_dry: float = 0.8,
+    reverb_damping: float = 0.7,
+) -> np.ndarray:
+    """(C, T) float -> processed (C, T)."""
+    x = add_audio_effects_device(
+        jnp.asarray(audio, jnp.float32), sr,
+        reverb_rm_size, reverb_wet, reverb_dry, reverb_damping,
     )
     return np.asarray(x, np.float32)
 
@@ -69,6 +85,48 @@ def pitch_shift_all(audio: np.ndarray, sr: int, semitones: float) -> np.ndarray:
 
 def _db_gain(db: float) -> float:
     return 10.0 ** (db / 20.0)
+
+
+def to_stereo_device(x: jnp.ndarray) -> jnp.ndarray:
+    """(C, T) or (T,) device audio -> (2, T)."""
+    if x.ndim == 1:
+        x = x[None, :]
+    if x.shape[0] == 1:
+        return jnp.repeat(x, 2, axis=0)
+    return x[:2]
+
+
+def quantize_int16(x: jnp.ndarray) -> jnp.ndarray:
+    """Device float [-1, 1] -> int16 with write_wav's PCM-16 rounding, so a
+    device-quantized download is byte-identical to a float download written
+    through io.audio.write_wav."""
+    return jnp.clip(jnp.round(x * 32767.0), -32768, 32767).astype(jnp.int16)
+
+
+def combine_audio_device(
+    main_vocals: jnp.ndarray,
+    backup_vocals: jnp.ndarray,
+    instrumentals: jnp.ndarray,
+    main_gain_db: float = 0.0,
+    backup_gain_db: float = 0.0,
+    inst_gain_db: float = 0.0,
+) -> jnp.ndarray:
+    """Device-resident combine_audio: (2, T) stems -> (2, T_main) float mix.
+    Same gain staging/length contract as combine_audio; stems stay in HBM so
+    only the final mix crosses the host boundary."""
+    length = main_vocals.shape[-1]
+
+    def prep(x, gain_db):
+        g = _db_gain(gain_db)
+        if x.shape[-1] < length:
+            x = jnp.pad(x, ((0, 0), (0, length - x.shape[-1])))
+        return x[..., :length] * g
+
+    return (
+        prep(main_vocals.astype(jnp.float32), -4 + main_gain_db)
+        + prep(backup_vocals.astype(jnp.float32), -6 + backup_gain_db)
+        + prep(instrumentals.astype(jnp.float32), -7 + inst_gain_db)
+    )
 
 
 def combine_audio(

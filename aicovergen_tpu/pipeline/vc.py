@@ -183,6 +183,7 @@ class VoiceConverter:
         protect: float,
         rng,
         metrics: Optional[Metrics] = None,
+        as_numpy: bool = True,
     ) -> List[np.ndarray]:
         """All padded spans of one song -> converted audio per span
         (full spans, untrimmed).
@@ -263,7 +264,12 @@ class VoiceConverter:
                 use_f0,
                 rng,
             )
-            audio = np.asarray(audio, np.float32)
+            if as_numpy:
+                audio = np.asarray(audio, np.float32)
+            else:
+                # device-resident output: force execution so the stage timing
+                # is honest, but leave the rows in HBM for the caller
+                jax.block_until_ready(audio)
         upp = self.synth_cfg.upp
         return [audio[i, : p_len_true[i] * upp] for i in range(len(segs))]
 
@@ -282,10 +288,16 @@ class VoiceConverter:
         inp_f0: Optional[np.ndarray] = None,
         seed: int = 0,
         metrics: Optional[Metrics] = None,
+        output: str = "int16",
     ) -> Tuple[np.ndarray, int]:
         """16 kHz mono float audio -> (int16 audio, output sr).
 
         Mirrors VC.pipeline (reference vc_infer_pipeline.py:474-653).
+
+        output="device_int16" keeps the post chain (trim/concat, RMS-envelope
+        mix, resample, int16 normalize) in HBM and returns a device int16
+        array — the cover pipeline feeds it straight into the effects/mixdown
+        programs and downloads it once, in the background, for the WAV cache.
         """
         metrics = metrics or Metrics()
         rt = self.runtime
@@ -339,31 +351,51 @@ class VoiceConverter:
         seg_pitchf = [
             pitchf[a // WINDOW : b // WINDOW] if pitchf is not None else None for a, b in spans
         ]
+        device_out = output == "device_int16"
         converted = self._convert_segments(
-            segs, seg_pitch, seg_pitchf, sid, index_rate, protect, rng, metrics=metrics
+            segs, seg_pitch, seg_pitchf, sid, index_rate, protect, rng,
+            metrics=metrics, as_numpy=not device_out,
         )
-        audio_opt = np.concatenate([c[t_pad_tgt:-t_pad_tgt] for c in converted])
+        xp = jnp if device_out else np
+        audio_opt = xp.concatenate([c[t_pad_tgt:-t_pad_tgt] for c in converted])
 
         with metrics.stage("vc/post"):
             if rms_mix_rate != 1:
                 src_b, _ = pad_to_bucket(audio.astype(np.float32), SR * 32, mode="constant")
-                out_b, n_out = pad_to_bucket(audio_opt, self.tgt_sr * 32, mode="constant")
-                audio_opt = np.asarray(
-                    mix_rms_envelope(
-                        jnp.asarray(src_b), SR, jnp.asarray(out_b), self.tgt_sr, rms_mix_rate
-                    )
+                out_b, n_out = _pad_bucket_any(audio_opt, self.tgt_sr * 32)
+                audio_opt = mix_rms_envelope(
+                    jnp.asarray(src_b), SR, jnp.asarray(out_b), self.tgt_sr, rms_mix_rate
                 )[:n_out]
+                if not device_out:
+                    audio_opt = np.asarray(audio_opt)
             out_sr = self.tgt_sr
             if resample_sr >= SR and self.tgt_sr != resample_sr:
-                out_b, n_out = pad_to_bucket(audio_opt, self.tgt_sr * 32, mode="constant")
-                audio_opt = np.asarray(
-                    resample(jnp.asarray(out_b), self.tgt_sr, resample_sr)
-                )[: int(round(n_out * resample_sr / self.tgt_sr))]
-                out_sr = resample_sr
+                out_b, n_out = _pad_bucket_any(audio_opt, self.tgt_sr * 32)
+                audio_opt = resample(jnp.asarray(out_b), self.tgt_sr, resample_sr)[
+                    : int(round(n_out * resample_sr / self.tgt_sr))
+                ]
+                if not device_out:
+                    audio_opt = np.asarray(audio_opt)
 
-        # int16 normalization (vc_infer_pipeline.py:645-649)
-        audio_max = np.abs(audio_opt).max() / 0.99
-        max_int16 = 32768.0
-        if audio_max > 1:
-            max_int16 /= audio_max
-        return (audio_opt * max_int16).astype(np.int16), out_sr
+            # int16 normalization (vc_infer_pipeline.py:645-649); on the
+            # device path the max is the only scalar that crosses to host
+            if device_out:
+                audio_opt = jnp.asarray(audio_opt, jnp.float32)
+                audio_max = float(jnp.max(jnp.abs(audio_opt))) / 0.99
+            else:
+                audio_max = np.abs(audio_opt).max() / 0.99
+            max_int16 = 32768.0
+            if audio_max > 1:
+                max_int16 /= audio_max
+            if device_out:
+                return (audio_opt * max_int16).astype(jnp.int16), out_sr
+            return (audio_opt * max_int16).astype(np.int16), out_sr
+
+
+def _pad_bucket_any(x, bucket: int):
+    """pad_to_bucket for numpy or device arrays (constant mode)."""
+    n = x.shape[-1]
+    target = int(math.ceil(n / bucket) * bucket) if n else bucket
+    if isinstance(x, jnp.ndarray):
+        return jnp.pad(x, (0, target - n)), n
+    return np.pad(x, (0, target - n)), n
