@@ -16,7 +16,6 @@ preserve the cache/inspection contract, but never re-read within a run.
 
 from __future__ import annotations
 
-import gc
 import os
 import threading
 from dataclasses import dataclass, field
@@ -187,8 +186,10 @@ class CoverPipeline:
             denoise=denoise, batch_size=self.mdx_batch_size, shard=self.shard,
             compute_dtype=self.runtime.compute_dtype if self.runtime.use_bf16 else None,
         )
+        # no per-stage gc.collect: the reference needed it to release CUDA
+        # blocks (src/mdx.py:282-286); here device buffers free by refcount
+        # and a full gc sweep costs ~0.1-0.3 s per call on this process size
         del model_fn
-        gc.collect()
         return primary, complement
 
     def separate_song(
@@ -264,10 +265,17 @@ class CoverPipeline:
         metrics = kwargs.pop("metrics", None)
         if metrics is None:
             metrics = Metrics()
+        import time
+
+        t0 = time.perf_counter()
         with profile_trace("song_cover"):
             try:
                 return self._song_cover(*args, metrics=metrics, **kwargs)
             finally:
+                # wall time no stage accounts for (host glue, hidden syncs)
+                untracked = (time.perf_counter() - t0) - metrics.total
+                if untracked > 0.01:
+                    metrics.add("other/untracked", untracked)
                 metrics.log("song_cover")
 
     def _song_cover(
@@ -436,7 +444,6 @@ class CoverPipeline:
                 )
                 ai_float = converted_dev.astype(jnp.float32)[None, :] / 32768.0
                 del vc
-                gc.collect()
             else:
                 from ..io.audio import read_wav
 
@@ -499,7 +506,10 @@ class CoverPipeline:
                 )
                 cover_path = save_audio(cover_path, mix_i16, SR_MDX, output_format)
 
-            writer.join()  # cache files must exist before cleanup/return
+            # cache files must exist before cleanup/return; anything left here
+            # is stem-download time the compute stages did not hide
+            with metrics.stage("host_io/flush"):
+                writer.join()
         if not keep_files:
             display_progress("[~] Removing intermediate audio files...", 0.95, progress)
             for path in (stem_path("Vocals"), stem_path("Vocals_Main"), mixed_path):
