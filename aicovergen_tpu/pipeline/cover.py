@@ -217,7 +217,9 @@ class CoverPipeline:
         import jax.numpy as jnp
 
         metrics = metrics or Metrics()
-        orig_dev = jnp.asarray(orig.astype(np.float16)).astype(jnp.float32)
+        with metrics.stage("separate/upload"):
+            orig_dev = jnp.asarray(orig.astype(np.float16)).astype(jnp.float32)
+            _sync(orig_dev)
         display_progress("[~] Separating Vocals from Instrumental...", 0.1, progress)
         with metrics.stage("separate/vocals"):
             vocals, instrumental = self._run_separation(orig_dev, "UVR-MDX-NET-Voc_FT.onnx")
@@ -407,12 +409,10 @@ class CoverPipeline:
                     vc = self._get_voice_converter(voice_model)
                 with metrics.stage("vc/prep"):
                     if isinstance(dereverb, jnp.ndarray):
-                        # mono + 16 kHz on device; only the small 16 kHz track
-                        # crosses to host (the split search / f0 need it there)
-                        vocal_16k = np.asarray(
-                            resample(jnp.mean(dereverb, axis=0), SR_MDX, 16000),
-                            np.float64,
-                        )
+                        # mono + 16 kHz stays on device; vc.convert keeps it
+                        # in HBM through hpf/f0/segment-gather and downloads
+                        # only the small split-search track itself
+                        vocal_16k = resample(jnp.mean(dereverb, axis=0), SR_MDX, 16000)
                     else:
                         vocal_mono = dereverb.mean(axis=0).astype(np.float32)
                         vocal_16k = resample_poly_np(vocal_mono, SR_MDX, 16000).astype(

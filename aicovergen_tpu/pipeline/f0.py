@@ -218,17 +218,25 @@ class F0Estimator:
         filter_radius: int = 3,
         crepe_hop_length: int = 128,
     ) -> np.ndarray:
-        """Raw f0 (Hz, 0=unvoiced) of length p_len for one padded signal."""
+        """Raw f0 (Hz, 0=unvoiced) of length p_len for one padded signal.
+        `x` may live on device (jnp): rmvpe consumes it in HBM directly;
+        host-side methods download it once here."""
         from ..ops.filters import medfilt
 
         if method == "rmvpe":
             # bucket the device-side input so each new song length does not
             # recompile the mel-STFT/U-Net stack (~40 s per fresh length)
-            from ..utils.precision import pad_to_bucket
+            if isinstance(x, jnp.ndarray):
+                xb = jnp.pad(x.astype(jnp.float32), (0, (-x.shape[-1]) % (16000 * 32)))
+            else:
+                from ..utils.precision import pad_to_bucket
 
-            xb, _ = pad_to_bucket(x.astype(np.float32), 16000 * 32)
-            f0 = np.asarray(self._get_rmvpe().infer(jnp.asarray(xb), thred=0.03))
+                xb, _ = pad_to_bucket(x.astype(np.float32), 16000 * 32)
+                xb = jnp.asarray(xb)
+            f0 = np.asarray(self._get_rmvpe().infer(xb, thred=0.03))
             return _fit_length(f0.astype(np.float64), p_len)
+        if isinstance(x, jnp.ndarray):
+            x = np.asarray(x, np.float64)
         if method == "pm":
             return autocorr_f0(x, p_len)
         if method in ("harvest", "dio"):

@@ -63,6 +63,22 @@ def find_split_points(audio: np.ndarray, cfg: RuntimeConfig) -> List[int]:
     return opt_ts
 
 
+@partial(jax.jit, static_argnames=("nb",))
+def _gather_segments(src, starts, valid, nb: int):
+    """Slice the (zero-padded) device signal into a (rows, nb) segment batch.
+
+    Replaces the host-side batch assembly + its ~20 MB upload: the padded
+    signal is already in HBM, so each row is one dynamic_slice; samples at or
+    beyond each row's true length are zeroed, exactly like the host version
+    zero-filled its buffer."""
+
+    def one(s):
+        return jax.lax.dynamic_slice(src, (s,), (nb,))
+
+    seg = jax.vmap(one)(starts)
+    return jnp.where(jnp.arange(nb)[None, :] < valid[:, None], seg, 0.0)
+
+
 @partial(jax.jit, static_argnames=("version",))
 def _features_stage(hubert_params, audio_seg, valid_samples, version: str):
     """(S, L) padded audio batch -> (S, F, C) HuBERT features (padding-masked).
@@ -175,7 +191,8 @@ class VoiceConverter:
 
     def _convert_segments(
         self,
-        segs: List[np.ndarray],
+        audio_pad: jnp.ndarray,
+        spans: List[Tuple[int, int]],
         pitches: List[Optional[np.ndarray]],
         pitchfs: List[Optional[np.ndarray]],
         sid: int,
@@ -186,28 +203,35 @@ class VoiceConverter:
         as_numpy: bool = True,
     ) -> List[np.ndarray]:
         """All padded spans of one song -> converted audio per span
-        (full spans, untrimmed).
+        (full spans, untrimmed).  `audio_pad` is the reflect-padded DEVICE
+        signal; spans index into it.
 
         The reference converts segments one at a time in a host loop
         (vc_infer_pipeline.py:567-637); here they form one (S, bucket)
-        batch so HuBERT + retrieval + the synthesizer each run as a single
-        large device program (SURVEY §2.2: segments are a leading batch
-        dimension that parallel.mesh can shard)."""
-        n_true = [s.shape[0] for s in segs]
-        if len(segs) > 1:
+        batch — gathered in HBM, no host round-trip — so HuBERT + retrieval
+        + the synthesizer each run as a single large device program
+        (SURVEY §2.2: segments are a leading batch dimension that
+        parallel.mesh can shard)."""
+        n_true = [b - a for a, b in spans]
+        if len(spans) > 1:
             nb = self._max_segment_bucket()
         else:
             nb = self._bucket_len(n_true[0])
-        rows = self._batch_rows(len(segs))
-        batch = np.zeros((rows, nb), np.float32)
-        valid = np.empty((rows,), np.int64)
-        valid[:] = n_true[0]  # filler rows reuse segment 0's length (masked out)
-        for i, s in enumerate(segs):
-            batch[i, : s.shape[0]] = s
-            valid[i] = s.shape[0]
+        rows = self._batch_rows(len(spans))
+        # filler rows duplicate row 0 (cheap, NaN-safe); their outputs are
+        # discarded and row noise is fold_in-keyed so they change nothing
+        starts = np.full((rows,), spans[0][0], np.int32)
+        valid = np.full((rows,), n_true[0], np.int64)
+        starts[: len(spans)] = [a for a, _ in spans]
+        valid[: len(spans)] = n_true
 
         metrics = metrics or Metrics()
-        batch_j = jnp.asarray(batch)
+        # zero-pad the source to a bucketed length + nb so every row slice is
+        # in bounds and the program is shared across a 32 s length class
+        src_len = audio_pad.shape[-1]
+        src_target = self._bucket_len(src_len) + nb
+        src = jnp.pad(audio_pad.astype(jnp.float32), (0, src_target - src_len))
+        batch_j = _gather_segments(src, jnp.asarray(starts), jnp.asarray(valid), nb)
         valid_j = jnp.asarray(valid)
         if self.shard is not None:
             batch_j = self.shard(batch_j)
@@ -248,7 +272,7 @@ class VoiceConverter:
 
         p_len_arr = np.empty((rows,), np.int64)
         p_len_arr[:] = p_len_true[0]
-        p_len_arr[: len(segs)] = p_len_true
+        p_len_arr[: len(spans)] = p_len_true
 
         with metrics.stage("vc/synth"):
             audio = _synth_stage(
@@ -271,7 +295,7 @@ class VoiceConverter:
                 # is honest, but leave the rows in HBM for the caller
                 jax.block_until_ready(audio)
         upp = self.synth_cfg.upp
-        return [audio[i, : p_len_true[i] * upp] for i in range(len(segs))]
+        return [audio[i, : p_len_true[i] * upp] for i in range(len(spans))]
 
     def convert(
         self,
@@ -305,17 +329,29 @@ class VoiceConverter:
         t_pad_tgt = self.tgt_sr * rt.x_pad
         t_pad2 = t_pad * 2
 
-        # bucket the whole-signal device stages (high-pass / f0 / rms mix):
-        # one compiled program per 32 s length class, not per song length
-        from ..utils.precision import pad_to_bucket
+        # Device-resident front end: high-pass, f0 (rmvpe) and the segment
+        # gather all read the signal in HBM; the ONLY download is the f32
+        # track the host-side split-point search needs (non-device f0
+        # methods pull their own host copy inside F0Estimator.compute).
+        # Whole-signal stages bucket to 32 s classes: one compiled program
+        # per length class, not per song length.
+        with metrics.stage("vc/hpf_split"):
+            audio_dev = (
+                audio
+                if isinstance(audio, jnp.ndarray)
+                else jnp.asarray(np.asarray(audio, np.float32))
+            ).astype(jnp.float32)
+            n_true = audio_dev.shape[-1]
+            hpf_b = zero_phase_fft(
+                self._hp_b,
+                self._hp_a,
+                jnp.pad(audio_dev, (0, (-n_true) % (SR * 32))),
+            )
+            audio_trim = hpf_b[:n_true]
+            audio = np.asarray(audio_trim, np.float64)  # one download
+            opt_ts = find_split_points(audio, rt)
 
-        xb, n_true = pad_to_bucket(np.asarray(audio, np.float32), SR * 32)
-        audio = np.asarray(
-            zero_phase_fft(self._hp_b, self._hp_a, jnp.asarray(xb)), np.float64
-        )[:n_true]
-        opt_ts = find_split_points(audio, rt)
-
-        audio_pad = np.pad(audio, (t_pad, t_pad), mode="reflect")
+            audio_pad = jnp.pad(audio_trim, (t_pad, t_pad), mode="reflect")
         p_len = audio_pad.shape[0] // WINDOW
 
         pitch = pitchf = None
@@ -344,7 +380,6 @@ class VoiceConverter:
             s = t
         spans.append((s, audio_pad.shape[0]))
 
-        segs = [audio_pad[a:b].astype(np.float32) for a, b in spans]
         seg_pitch = [
             pitch[a // WINDOW : b // WINDOW] if pitch is not None else None for a, b in spans
         ]
@@ -353,7 +388,7 @@ class VoiceConverter:
         ]
         device_out = output == "device_int16"
         converted = self._convert_segments(
-            segs, seg_pitch, seg_pitchf, sid, index_rate, protect, rng,
+            audio_pad, spans, seg_pitch, seg_pitchf, sid, index_rate, protect, rng,
             metrics=metrics, as_numpy=not device_out,
         )
         xp = jnp if device_out else np
@@ -361,10 +396,10 @@ class VoiceConverter:
 
         with metrics.stage("vc/post"):
             if rms_mix_rate != 1:
-                src_b, _ = pad_to_bucket(audio.astype(np.float32), SR * 32, mode="constant")
+                src_b = jnp.pad(audio_trim, (0, (-n_true) % (SR * 32)))
                 out_b, n_out = _pad_bucket_any(audio_opt, self.tgt_sr * 32)
                 audio_opt = mix_rms_envelope(
-                    jnp.asarray(src_b), SR, jnp.asarray(out_b), self.tgt_sr, rms_mix_rate
+                    src_b, SR, jnp.asarray(out_b), self.tgt_sr, rms_mix_rate
                 )[:n_out]
                 if not device_out:
                     audio_opt = np.asarray(audio_opt)
