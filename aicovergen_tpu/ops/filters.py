@@ -129,7 +129,12 @@ def zero_phase_fft(b, a, x: jnp.ndarray, pad_seconds_samples: int = 16000) -> jn
     left = 2 * x[0] - x[1 : padlen + 1][::-1]
     right = 2 * x[-1] - x[-padlen - 1 : -1][::-1]
     ext = jnp.concatenate([left, x, right])
-    n = ext.shape[-1]
+    # round the FFT up to a power of two: non-pow2 lengths hit Bluestein on
+    # TPU (~10x slower).  The trailing zeros wrap circularly, but the filter's
+    # impulse response (~10^2 samples for the 48 Hz high-pass) dies out well
+    # inside the padlen guard, so the recovered [padlen:padlen+T] window is
+    # unaffected to fp precision.
+    n = 1 << (ext.shape[-1] - 1).bit_length()
 
     # |H|^2 at the rfft bins (host-side, static length)
     from scipy import signal

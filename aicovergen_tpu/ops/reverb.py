@@ -31,13 +31,17 @@ def _scaled(delays, sr: int):
     return tuple(int(round(d * sr / 44100.0)) for d in delays)
 
 
-def _comb_pass(x: jnp.ndarray, delays, feedback: float, damp: float) -> jnp.ndarray:
-    """Sum of 8 damped feedback combs.  x: (T,) input (pre-gained).
+def _comb_pass_multi(x: jnp.ndarray, delays, feedback: float, damp: float) -> jnp.ndarray:
+    """Damped feedback combs, all advancing in one scan.  x: (T,) input
+    (pre-gained).  Returns per-comb outputs (n_combs, T) so a stereo caller
+    can run BOTH channels' 8-comb banks (16 lines, different tunings) in a
+    single sequential scan — the comb scan is the latency-bound part of
+    Freeverb, so halving the number of scans ~halves the stage.
 
     All combs advance together in blocks of min(delay) samples (within such a
-    block every delayed read lands in already-computed state); the 8 delay
-    lines live in one (8, dmax) buffer so each scan step is a single gather +
-    one batched associative scan instead of 8 unrolled copies."""
+    block every delayed read lands in already-computed state); the delay
+    lines live in one (n_combs, dmax) buffer so each scan step is a single
+    gather + one batched associative scan instead of unrolled copies."""
     n_combs = len(delays)
     dmax = max(delays)
     block = min(delays)
@@ -68,11 +72,16 @@ def _comb_pass(x: jnp.ndarray, delays, feedback: float, damp: float) -> jnp.ndar
         fs_seq = a_cum * fss[:, None] + b_cum
         writes = xb[None, :] + fs_seq * fb
         new_bufs = jnp.concatenate([bufs[:, block:], writes], axis=1)
-        return (new_bufs, fs_seq[:, -1]), outs.sum(axis=0)
+        return (new_bufs, fs_seq[:, -1]), outs
 
     init = (jnp.zeros((n_combs, dmax), jnp.float32), jnp.zeros((n_combs,), jnp.float32))
-    _, out = jax.lax.scan(step, init, xp)
-    return out.reshape(-1)[:T]
+    _, out = jax.lax.scan(step, init, xp)  # (n_blocks, n_combs, block)
+    return out.swapaxes(0, 1).reshape(n_combs, -1)[:, :T]
+
+
+def _comb_pass(x: jnp.ndarray, delays, feedback: float, damp: float) -> jnp.ndarray:
+    """Sum of one channel's damped feedback combs (see _comb_pass_multi)."""
+    return _comb_pass_multi(x, delays, feedback, damp).sum(axis=0)
 
 
 def _allpass_pass(x: jnp.ndarray, delay: int) -> jnp.ndarray:
@@ -128,16 +137,26 @@ def freeverb(
     # JUCE mono-sums the input into both channels' networks
     mono_in = jnp.mean(x, axis=0) * gain
 
-    def channel(spread: int):
-        combs = _scaled([c + spread for c in COMB_TUNINGS], sr)
-        y = _comb_pass(mono_in.astype(jnp.float32), combs, feedback, damp)
+    def allpass_chain(y, spread: int):
         for ap in _scaled([a + spread for a in ALLPASS_TUNINGS], sr):
             y = _allpass_pass(y, ap)
         return y
 
-    out_l = channel(0)
     if stereo:
-        out_r = channel(STEREO_SPREAD)
+        # both channels' comb banks (16 lines) advance in ONE scan; the
+        # allpasses are log-depth parallel scans, cheap to run per channel
+        combs = _scaled(COMB_TUNINGS, sr) + _scaled(
+            [c + STEREO_SPREAD for c in COMB_TUNINGS], sr
+        )
+        outs = _comb_pass_multi(mono_in.astype(jnp.float32), combs, feedback, damp)
+        out_l = allpass_chain(outs[:8].sum(axis=0), 0)
+        out_r = allpass_chain(outs[8:].sum(axis=0), STEREO_SPREAD)
+    else:
+        combs = _scaled(COMB_TUNINGS, sr)
+        out_l = allpass_chain(
+            _comb_pass(mono_in.astype(jnp.float32), combs, feedback, damp), 0
+        )
+    if stereo:
         left = out_l * wet1 + out_r * wet2 + x[0] * dry_gain
         right = out_r * wet1 + out_l * wet2 + x[1] * dry_gain
         result = jnp.stack([left, right])

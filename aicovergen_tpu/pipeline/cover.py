@@ -241,21 +241,22 @@ class CoverPipeline:
         if keep_files:
             stems["Vocals"] = vocals
             stems["Vocals_Main"] = main
-        for suffix, audio in stems.items():
-            path = os.path.join(song_dir, f"{base}_{suffix}.wav")
-            q = quantize_int16(audio)
-            try:  # start the device->host copy now; the writer consumes it
-                q.copy_to_host_async()
-            except Exception:
-                pass
+        # dispatch the int16 quantize on device and hand the arrays to the
+        # writer: the device->host copy happens on the writer thread (on this
+        # backend copy_to_host_async can block the calling thread, so the
+        # main thread must not touch the bytes)
+        with metrics.stage("separate/fetch_dispatch"):
+            for suffix, audio in stems.items():
+                path = os.path.join(song_dir, f"{base}_{suffix}.wav")
+                q = quantize_int16(audio)
 
-            def _write(path=path, q=q):
-                write_wav(path, np.asarray(q), SR_MDX)
+                def _write(path=path, q=q):
+                    write_wav(path, np.asarray(q), SR_MDX)
 
-            if writer is not None:
-                writer.submit(_write)
-            else:
-                _write()
+                if writer is not None:
+                    writer.submit(_write)
+                else:
+                    _write()
         return stems
 
     # ---------------------------------------------------------------- cover
@@ -433,10 +434,6 @@ class CoverPipeline:
                     metrics=metrics,
                     output="device_int16",
                 )
-                try:
-                    converted_dev.copy_to_host_async()
-                except Exception:
-                    pass
                 writer.submit(
                     lambda p=ai_vocals_path, a=converted_dev, s=ai_sr: write_wav(
                         p, np.asarray(a)[None, :], s

@@ -220,19 +220,59 @@ class VoiceConverter:
         rows = self._batch_rows(len(spans))
         # filler rows duplicate row 0 (cheap, NaN-safe); their outputs are
         # discarded and row noise is fold_in-keyed so they change nothing
-        starts = np.full((rows,), spans[0][0], np.int32)
+        starts = np.full((rows,), spans[0][0], np.int64)
         valid = np.full((rows,), n_true[0], np.int64)
         starts[: len(spans)] = [a for a, _ in spans]
         valid[: len(spans)] = n_true
 
+        # true usable frames: the reference's p_len = min(samples//window,
+        # 2*hubert_frames) (vc_infer_pipeline.py:439-444) — computed from the
+        # unpadded length, not the bucket
+        p_len_true = [min(n // WINDOW, conv_output_frames(n) * 2) for n in n_true]
+        p_len_pad = conv_output_frames(nb) * 2
+        p_len_arr = np.full((rows,), p_len_true[0], np.int64)
+        p_len_arr[: len(spans)] = p_len_true
+        sid_arr = np.full((rows,), sid, np.int64)
+        use_f0 = self.synth_cfg.if_f0
+
         metrics = metrics or Metrics()
+        # Small host arrays travel as TWO packed uploads: each separate
+        # jnp.asarray costs a serialized ~40 ms round trip on a remote-TPU
+        # tunnel, so starts/valid/p_len/sid/protect ride one f32 row bundle
+        # (all integers here are < 2^24, exact in f32) and pitch/pitchf one
+        # (2, rows, P) bundle; the pieces are sliced off on device.
+        meta = np.stack([
+            starts.astype(np.float32), valid.astype(np.float32),
+            p_len_arr.astype(np.float32), sid_arr.astype(np.float32),
+            np.full((rows,), protect, np.float32),
+        ])
+        meta_j = jnp.asarray(meta)
+        starts_j = meta_j[0].astype(jnp.int32)
+        valid_j = meta_j[1].astype(jnp.int32)
+        p_len_j = meta_j[2].astype(jnp.int32)
+        sid_j = meta_j[3].astype(jnp.int32)
+        protect_j = meta_j[4, 0]
+        if use_f0:
+            bundle = np.zeros((2, rows, p_len_pad), np.float32)
+            for i, (pl, pc, pf) in enumerate(zip(p_len_true, pitches, pitchfs)):
+                m = min(pl, len(pc))
+                bundle[0, i, :m] = pc[:m]
+                bundle[1, i, :m] = pf[:m]
+            bundle_j = jnp.asarray(bundle)
+            pitch_j = bundle_j[0].astype(jnp.int32)
+            pitchf_j = bundle_j[1]
+            if self.shard is not None:
+                pitch_j = self.shard(pitch_j)
+                pitchf_j = self.shard(pitchf_j)
+        else:
+            pitch_j = pitchf_j = None
+
         # zero-pad the source to a bucketed length + nb so every row slice is
         # in bounds and the program is shared across a 32 s length class
         src_len = audio_pad.shape[-1]
         src_target = self._bucket_len(src_len) + nb
         src = jnp.pad(audio_pad.astype(jnp.float32), (0, src_target - src_len))
-        batch_j = _gather_segments(src, jnp.asarray(starts), jnp.asarray(valid), nb)
-        valid_j = jnp.asarray(valid)
+        batch_j = _gather_segments(src, starts_j, valid_j, nb)
         if self.shard is not None:
             batch_j = self.shard(batch_j)
             valid_j = self.shard(valid_j)
@@ -249,41 +289,16 @@ class VoiceConverter:
                     s_, f_, c_
                 )
 
-        # true usable frames: the reference's p_len = min(samples//window,
-        # 2*hubert_frames) (vc_infer_pipeline.py:439-444) — computed from the
-        # unpadded length, not the bucket
-        p_len_true = [min(n // WINDOW, conv_output_frames(n) * 2) for n in n_true]
-        p_len_pad = feats.shape[1] * 2
-        use_f0 = self.synth_cfg.if_f0
-        if use_f0:
-            pitch_p = np.zeros((rows, p_len_pad), np.int64)
-            pitchf_p = np.zeros((rows, p_len_pad), np.float32)
-            for i, (pl, pc, pf) in enumerate(zip(p_len_true, pitches, pitchfs)):
-                m = min(pl, len(pc))
-                pitch_p[i, :m] = pc[:m]
-                pitchf_p[i, :m] = pf[:m]
-            pitch_j = jnp.asarray(pitch_p)
-            pitchf_j = jnp.asarray(pitchf_p)
-            if self.shard is not None:
-                pitch_j = self.shard(pitch_j)
-                pitchf_j = self.shard(pitchf_j)
-        else:
-            pitch_j = pitchf_j = None
-
-        p_len_arr = np.empty((rows,), np.int64)
-        p_len_arr[:] = p_len_true[0]
-        p_len_arr[: len(spans)] = p_len_true
-
         with metrics.stage("vc/synth"):
             audio = _synth_stage(
                 self.synth_params,
                 feats,
                 feats0,
-                jnp.asarray(p_len_arr),
+                p_len_j,
                 pitch_j,
                 pitchf_j,
-                jnp.asarray(np.full((rows,), sid, np.int32)),
-                jnp.asarray(protect, jnp.float32),
+                sid_j,
+                protect_j,
                 self.synth_cfg,
                 use_f0,
                 rng,
@@ -413,17 +428,17 @@ class VoiceConverter:
                     audio_opt = np.asarray(audio_opt)
 
             # int16 normalization (vc_infer_pipeline.py:645-649); on the
-            # device path the max is the only scalar that crosses to host
+            # device path the max-compare happens in HBM — no scalar crosses
+            # to host, the stage stays fully async
             if device_out:
                 audio_opt = jnp.asarray(audio_opt, jnp.float32)
-                audio_max = float(jnp.max(jnp.abs(audio_opt))) / 0.99
-            else:
-                audio_max = np.abs(audio_opt).max() / 0.99
+                audio_max = jnp.max(jnp.abs(audio_opt)) / 0.99
+                scale = jnp.where(audio_max > 1, 32768.0 / audio_max, 32768.0)
+                return (audio_opt * scale).astype(jnp.int16), out_sr
+            audio_max = np.abs(audio_opt).max() / 0.99
             max_int16 = 32768.0
             if audio_max > 1:
                 max_int16 /= audio_max
-            if device_out:
-                return (audio_opt * max_int16).astype(jnp.int16), out_sr
             return (audio_opt * max_int16).astype(np.int16), out_sr
 
 
