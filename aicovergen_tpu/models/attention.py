@@ -49,9 +49,60 @@ def _absolute_to_relative(x: jnp.ndarray):
     return x_flat.reshape(b, h, length, 2 * length)[:, :, :, 1:]
 
 
+def _band_to_dense(x: jnp.ndarray, w: int) -> jnp.ndarray:
+    """(B, H, T, K=2w+1) banded values -> (B, H, T, T) with
+    D[t, s] = x[t, s - t + w] on the band.  Same pad/flatten/reshape skew
+    family as _relative_to_absolute but K-wide instead of (2T-1)-wide —
+    entries outside the band read neighboring rows and MUST be masked by
+    the caller (they are, with the |s-t| <= w `inband` mask).  Pure layout
+    ops: no gather, nothing wider than the dense result is materialized."""
+    b, h, t, k = x.shape
+    if t == 1:
+        return x  # K == 1: the band IS the dense matrix
+    width = k + t - 1  # padded row width; dense row stride is width-1
+    xp = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, t - 1)))  # (B,H,T,W)
+    flat = xp.reshape(b, h, t * width)
+    # D[t, s] = x_flat[t*W + (s - t + w)] = x_flat[w + t*(W-1) + s]
+    need = t * (width - 1)
+    flat = jnp.pad(flat, ((0, 0), (0, 0), (0, max(0, w + need - flat.shape[-1]))))
+    return flat[..., w : w + need].reshape(b, h, t, width - 1)[..., :t]
+
+
+def _dense_to_band(p_attn: jnp.ndarray, w: int) -> jnp.ndarray:
+    """(B, H, T, T) -> (B, H, T, K=2w+1) with
+    S[t, k] = p_attn[t, t + k - w]; out-of-range entries read neighboring
+    rows and MUST be masked by the caller.  Inverse skew of _band_to_dense."""
+    b, h, t, _ = p_attn.shape
+    k = 2 * w + 1
+    extra = max(0, k - (t + 1))  # row padding so the skewed row covers K cols
+    pp = jnp.pad(p_attn, ((0, 0), (0, 0), (0, 0), (0, extra)))
+    r = t + extra
+    flat = pp.reshape(b, h, t * r)
+    flat = jnp.pad(flat, ((0, 0), (0, 0), (w, w + r)))
+    # S[t, k] = flat_padded[t*(R+1) + k]  (== p_attn[t, t + k - w] in range)
+    return flat[..., : t * (r + 1)].reshape(b, h, t, r + 1)[..., :k]
+
+
+def _band_table(rel_emb: jnp.ndarray, t: int, window_size: int) -> jnp.ndarray:
+    """The 2*w_eff+1 usable rows of the (1, 2w+1, d) relative table — the
+    same entries _get_relative_embeddings keeps (it zero-pads the rest out
+    to 2t-1 diagonals)."""
+    w_eff = min(window_size, t - 1)
+    center = rel_emb.shape[1] // 2
+    return rel_emb[0, center - w_eff : center + w_eff + 1]  # (2*w_eff+1, d)
+
+
 def multi_head_attention(p, x, attn_mask, n_heads: int, window_size: int):
     """Self-attention on (B, D, T) with shared-head relative embeddings
-    (reference attentions.py:216-275)."""
+    (reference attentions.py:216-275).
+
+    The reference routes the relative-position terms through (T, 2T-1)
+    intermediates and pad/reshape shuffles (attentions.py:313-348) — at
+    song scale (T ~ 8k) that materializes multi-GB tensors that are zero
+    outside the +-window band.  Here both terms stay banded: 2w+1 products
+    per position, gathered onto the score diagonals / out of the attention
+    rows.  The summed terms are identical (the dropped entries are exact
+    zeros), so results match the reference bit-for-bit in fp."""
     b, d, t = x.shape
     k_channels = d // n_heads
 
@@ -66,9 +117,15 @@ def multi_head_attention(p, x, attn_mask, n_heads: int, window_size: int):
     scale = 1.0 / math.sqrt(k_channels)
     scores = jnp.einsum("bhtd,bhsd->bhts", q * scale, k)
 
-    rel_k = _get_relative_embeddings(p["emb_rel_k"], t, window_size)  # (1, 2t-1, dk)
-    rel_logits = jnp.einsum("bhtd,omd->bhtm", q * scale, rel_k[0][None])
-    scores = scores + _relative_to_absolute(rel_logits)
+    w_eff = min(window_size, t - 1)
+    tab_k = _band_table(p["emb_rel_k"], t, window_size)  # (K, dk)
+    band_logits = jnp.einsum("bhtd,kd->bhtk", q * scale, tab_k)  # (B,H,T,K)
+    t_idx = jnp.arange(t)[:, None]
+    s_idx = jnp.arange(t)[None, :]
+    inband = jnp.abs(s_idx - t_idx) <= w_eff
+    scores = scores + jnp.where(
+        inband[None, None], _band_to_dense(band_logits, w_eff), 0
+    )
 
     if attn_mask is not None:
         scores = jnp.where(attn_mask == 0, -1e4, scores)
@@ -77,9 +134,12 @@ def multi_head_attention(p, x, attn_mask, n_heads: int, window_size: int):
     p_attn = p_attn.astype(x.dtype)
     out = jnp.einsum("bhts,bhsd->bhtd", p_attn, v)
 
-    rel_weights = _absolute_to_relative(p_attn)  # (B, H, T, 2T-1)
-    rel_v = _get_relative_embeddings(p["emb_rel_v"], t, window_size)
-    out = out + jnp.einsum("bhtm,omd->bhtd", rel_weights, rel_v[0][None])
+    # out[t] += sum_{|s-t|<=w} p_attn[t, s] * rel_v[s - t + w]
+    tab_v = _band_table(p["emb_rel_v"], t, window_size)
+    s_pos = t_idx + jnp.arange(-w_eff, w_eff + 1)[None, :]  # (T, K)
+    valid = (s_pos >= 0) & (s_pos < t)
+    strips = jnp.where(valid[None, None], _dense_to_band(p_attn, w_eff), 0)
+    out = out + jnp.einsum("bhtk,kd->bhtd", strips, tab_v.astype(p_attn.dtype))
 
     out = out.swapaxes(2, 3).reshape(b, d, t)
     return conv1d(p["conv_o"], out)

@@ -91,8 +91,31 @@ def main():
         return z * x_mask, g
 
     t = timeit(encflow, params, phone, pitch, lengths, zp_noise)
-    print(f"enc_p + flow: {t*1e3:.1f}ms", flush=True)
+    ca = encflow.lower(params, phone, pitch, lengths, zp_noise).compile().cost_analysis()
+    ca = ca[0] if isinstance(ca, (list, tuple)) else ca
+    print(
+        f"enc_p + flow: {t*1e3:.1f}ms  xla_bytes={ca.get('bytes accessed', 0)/1e9:.1f}G "
+        f"({ca.get('bytes accessed', 0)/t/1e9:.0f} GB/s)  flops={ca.get('flops', 0)/1e9:.0f}G",
+        flush=True,
+    )
     z, g = encflow(params, phone, pitch, lengths, zp_noise)
+
+    # encoder alone vs flow alone
+    @jax.jit
+    def enc_only(params, phone, pitch, lengths):
+        return text_encoder(params["enc_p"], phone, pitch, lengths, cfg)
+
+    t = timeit(enc_only, params, phone, pitch, lengths)
+    print(f"enc_p only: {t*1e3:.1f}ms", flush=True)
+
+    @jax.jit
+    def flow_only(params, z, lengths):
+        x_mask = (jnp.arange(z.shape[-1])[None, None, :] < lengths[:, None, None]).astype(z.dtype)
+        g2 = embedding(params["emb_g"], sid)[:, :, None]
+        return flow_reverse(params["flow"], z * x_mask, x_mask, g2, cfg)
+
+    t = timeit(flow_only, params, z, lengths)
+    print(f"flow only: {t*1e3:.1f}ms", flush=True)
 
     # 3) windowed NSF decoder
     @jax.jit
