@@ -83,6 +83,69 @@ def _dense_to_band(p_attn: jnp.ndarray, w: int) -> jnp.ndarray:
     return flat[..., : t * (r + 1)].reshape(b, h, t, r + 1)[..., :k]
 
 
+def _band_add_blocked(scores: jnp.ndarray, band: jnp.ndarray, w: int) -> jnp.ndarray:
+    """scores (B,H,T,T) += banded values, T % 128 == 0, w < 128.
+
+    The full-size skew (_band_to_dense) moves GB-scale buffers through
+    lane-misaligned slices — measured ~170 ms per layer on the session TPU.
+    Here the band is first skewed inside 128-row blocks (KB-scale flats,
+    the classic reshape trick at stride 385), yielding for every row the
+    values destined for its three neighboring 128-column blocks
+    (dm[t, m, j] -> column (bi(t)+m-1)*128 + j); the dense add is then one
+    fused broadcast-select pass over the scores."""
+    b, h, t, k = band.shape
+    nblk = t // 128
+    pad_l = 128 - w
+    row_w = 3 * 128 + 1  # 385: stride-384 reads via the reshape trick
+    bp = jnp.pad(
+        band.reshape(b, h, nblk, 128, k),
+        ((0, 0), (0, 0), (0, 0), (0, 0), (pad_l, row_w - pad_l - k)),
+    )
+    flat = bp.reshape(b, h, nblk, 128 * row_w)
+    # d_cat[i, c'] = flat[i*384 + c'] = band[i, c' - i - (128 - w)] (zeros
+    # outside the band; c' = m*128 + j spans column-blocks bi-1, bi, bi+1)
+    d_cat = flat[..., : 128 * (row_w - 1)].reshape(b, h, nblk, 128, 3, 128)
+    dm = d_cat.reshape(b, h, t, 3, 128)
+
+    bi_of_t = jnp.arange(t) // 128
+    sel = (
+        jnp.arange(nblk)[None, :, None]
+        == bi_of_t[:, None, None] + jnp.arange(-1, 2)[None, None, :]
+    )  # (T, C, 3)
+    s5 = scores.reshape(b, h, t, nblk, 128)
+    r5 = s5
+    for m in range(3):
+        r5 = r5 + dm[:, :, :, m, None, :] * sel[None, None, :, :, m, None].astype(scores.dtype)
+    return r5.reshape(b, h, t, t)
+
+
+def _strips_blocked(p_attn: jnp.ndarray, w: int) -> jnp.ndarray:
+    """(B,H,T,T) -> (B,H,T,2w+1) with S[t,k] = p_attn[t, t+k-w] (zeros out
+    of range), T % 128 == 0, w < 128.  One einsum gathers each row's three
+    neighboring 128-column blocks (reads p_attn once); the per-block
+    inverse skew then runs on KB-scale flats."""
+    b, h, t, _ = p_attn.shape
+    nblk = t // 128
+    bi_of_t = jnp.arange(t) // 128
+    sel = (
+        jnp.arange(nblk)[None, :, None]
+        == bi_of_t[:, None, None] + jnp.arange(-1, 2)[None, None, :]
+    )  # (T, C, 3)
+    p5 = p_attn.reshape(b, h, t, nblk, 128)
+    e = jnp.einsum("bhtcj,tcm->bhtmj", p5, sel.astype(p_attn.dtype))  # (B,H,T,3,128)
+    e_cat = e.reshape(b, h, nblk, 128, 384)
+    flat = jnp.pad(e_cat.reshape(b, h, nblk, 128 * 384), ((0, 0), (0, 0), (0, 0), (0, 128)))
+    # sk[i, p] = e_cat[i, i + p]  (rows never wrap: i + p <= 127 + 138 < 384)
+    sk = flat.reshape(b, h, nblk, 128, 385)[..., pl_start(w) : pl_start(w) + 2 * w + 1]
+    return sk.reshape(b, h, t, 2 * w + 1)
+
+
+def pl_start(w: int) -> int:
+    """Start column of the strip window inside the stride-385 skew:
+    S[t,k] = e_cat[i, i + 128 - w + k] -> p = 128 - w + k."""
+    return 128 - w
+
+
 def _band_table(rel_emb: jnp.ndarray, t: int, window_size: int) -> jnp.ndarray:
     """The 2*w_eff+1 usable rows of the (1, 2w+1, d) relative table — the
     same entries _get_relative_embeddings keeps (it zero-pads the rest out
@@ -118,27 +181,46 @@ def multi_head_attention(p, x, attn_mask, n_heads: int, window_size: int):
     scores = jnp.einsum("bhtd,bhsd->bhts", q * scale, k)
 
     w_eff = min(window_size, t - 1)
+    blocked = t % 128 == 0 and w_eff < 128 and t >= 256
     tab_k = _band_table(p["emb_rel_k"], t, window_size)  # (K, dk)
     band_logits = jnp.einsum("bhtd,kd->bhtk", q * scale, tab_k)  # (B,H,T,K)
-    t_idx = jnp.arange(t)[:, None]
-    s_idx = jnp.arange(t)[None, :]
-    inband = jnp.abs(s_idx - t_idx) <= w_eff
-    scores = scores + jnp.where(
-        inband[None, None], _band_to_dense(band_logits, w_eff), 0
-    )
+    if blocked:
+        scores = _band_add_blocked(scores, band_logits, w_eff)
+    else:
+        t_idx = jnp.arange(t)[:, None]
+        s_idx = jnp.arange(t)[None, :]
+        inband = jnp.abs(s_idx - t_idx) <= w_eff
+        scores = scores + jnp.where(
+            inband[None, None], _band_to_dense(band_logits, w_eff), 0
+        )
 
     if attn_mask is not None:
-        scores = jnp.where(attn_mask == 0, -1e4, scores)
-    # softmax in >=fp32 (bf16 exponent sums lose mass on long rows)
-    p_attn = jax.nn.softmax(scores.astype(jnp.promote_types(x.dtype, jnp.float32)), axis=-1)
-    p_attn = p_attn.astype(x.dtype)
+        # attn_mask is the (B, 1, T) x_mask vector: the (T, T) outer product
+        # stays a broadcast inside this where — two vector reads per layer
+        # instead of a materialized (B, 1, T, T) mask read 6 times over
+        pair = attn_mask[:, :, :, None] * attn_mask[:, :, None, :]
+        scores = jnp.where(pair == 0, -1e4, scores)
+    # Manual softmax, fusion-friendly at T ~ 8k: max/sub stay in the compute
+    # dtype (the scores already are), exp runs in f32 but its result is
+    # stored back in the compute dtype, and the sum accumulates f32 over it
+    # (XLA fuses the convert into the reduce) — in f32 this is exactly
+    # jax.nn.softmax; in bf16 it avoids materializing the (B,H,T,T) tensor
+    # in f32 three times over.
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp((scores - m).astype(jnp.float32)).astype(x.dtype)
+    denom = jnp.sum(e, axis=-1, keepdims=True, dtype=jnp.float32)
+    p_attn = (e.astype(jnp.float32) / denom).astype(x.dtype)
     out = jnp.einsum("bhts,bhsd->bhtd", p_attn, v)
 
     # out[t] += sum_{|s-t|<=w} p_attn[t, s] * rel_v[s - t + w]
     tab_v = _band_table(p["emb_rel_v"], t, window_size)
-    s_pos = t_idx + jnp.arange(-w_eff, w_eff + 1)[None, :]  # (T, K)
-    valid = (s_pos >= 0) & (s_pos < t)
-    strips = jnp.where(valid[None, None], _dense_to_band(p_attn, w_eff), 0)
+    if blocked:
+        strips = _strips_blocked(p_attn, w_eff)
+    else:
+        t_idx = jnp.arange(t)[:, None]
+        s_pos = t_idx + jnp.arange(-w_eff, w_eff + 1)[None, :]  # (T, K)
+        valid = (s_pos >= 0) & (s_pos < t)
+        strips = jnp.where(valid[None, None], _dense_to_band(p_attn, w_eff), 0)
     out = out + jnp.einsum("bhtk,kd->bhtd", strips, tab_v.astype(p_attn.dtype))
 
     out = out.swapaxes(2, 3).reshape(b, d, t)
@@ -164,7 +246,7 @@ def ffn(p, x, x_mask, kernel_size: int):
 
 def encoder(p, x, x_mask, n_heads: int, n_layers: int, kernel_size: int, window_size: int = 10):
     """reference attentions.py Encoder.forward (:61-73) on (B, D, T)."""
-    attn_mask = x_mask[:, :, None, :] * x_mask[:, :, :, None]  # (B,1,T,T)
+    attn_mask = x_mask  # (B, 1, T); layers form the (T, T) pair mask lazily
     x = x * x_mask
     for i in range(n_layers):
         si = str(i)

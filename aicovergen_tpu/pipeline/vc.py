@@ -178,7 +178,18 @@ class VoiceConverter:
         shares ONE compiled program regardless of where its splits land."""
         rt = self.runtime
         max_span = SR * (rt.x_center + 2 * rt.x_query + 2 * rt.x_pad) + WINDOW
-        return self._bucket_len(max_span)
+        return self._align_frames(self._bucket_len(max_span))
+
+    @staticmethod
+    def _align_frames(nb: int) -> int:
+        """Bump the segment bucket until the HuBERT frame count is a
+        multiple of 64 — the encoder sequence (2 frames per HuBERT frame)
+        is then 128-aligned, unlocking the blocked band path in
+        models/attention.py (and tile-aligned attention shapes generally).
+        Costs at most ~63 extra frames (~1.3 s) of masked padding."""
+        while conv_output_frames(nb) % 64:
+            nb += WINDOW * 2  # +320 samples -> +1 conv frame
+        return nb
 
     def _batch_rows(self, n_rows: int) -> int:
         """Pad the segment count to a power of two so the jit cache sees a
@@ -216,7 +227,7 @@ class VoiceConverter:
         if len(spans) > 1:
             nb = self._max_segment_bucket()
         else:
-            nb = self._bucket_len(n_true[0])
+            nb = self._align_frames(self._bucket_len(n_true[0]))
         rows = self._batch_rows(len(spans))
         # filler rows duplicate row 0 (cheap, NaN-safe); their outputs are
         # discarded and row noise is fold_in-keyed so they change nothing

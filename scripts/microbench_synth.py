@@ -43,7 +43,7 @@ def main():
     params = cast_floats(params, jnp.bfloat16)
     cfg = RVCConfig(version="v2", if_f0=True)
 
-    rows, frames = 4, 3872  # ~bench shape: 4 segment rows x bucket frames
+    rows, frames = 4, 3904  # ~bench shape (frames % 64 == 0: blocked band path)
     t2 = frames * 2
     rng = np.random.default_rng(0)
     phone = jnp.asarray(rng.standard_normal((rows, t2, 768)).astype(np.float32) * 0.1).astype(jnp.bfloat16)

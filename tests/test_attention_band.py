@@ -42,3 +42,27 @@ def test_band_skew_matches_reference(t, w):
     strips_ref = np.where(valid, np.take_along_axis(np.asarray(p), idx, axis=-1), 0)
     strips_new = np.where(valid, np.asarray(_dense_to_band(p, w_eff)), 0)
     np.testing.assert_allclose(strips_ref, strips_new)
+
+
+@pytest.mark.parametrize("t,w", [(256, 10), (512, 10), (384, 3)])
+def test_blocked_band_matches_fallback(t, w):
+    from aicovergen_tpu.models.attention import _band_add_blocked, _strips_blocked
+
+    rng = np.random.default_rng(1)
+    b, h = 2, 2
+    k = 2 * w + 1
+    band = jnp.asarray(rng.standard_normal((b, h, t, k)).astype(np.float32))
+    scores = jnp.asarray(rng.standard_normal((b, h, t, t)).astype(np.float32))
+    t_idx = np.arange(t)[:, None]
+    s_idx = np.arange(t)[None, :]
+    inband = np.abs(s_idx - t_idx) <= w
+    ref = np.asarray(scores) + np.where(inband, np.asarray(_band_to_dense(band, w)), 0)
+    got = np.asarray(_band_add_blocked(scores, band, w))
+    np.testing.assert_allclose(ref, got, atol=1e-6)
+
+    p = jnp.asarray(rng.standard_normal((b, h, t, t)).astype(np.float32))
+    s_pos = t_idx + np.arange(-w, w + 1)[None, :]
+    valid = (s_pos >= 0) & (s_pos < t)
+    strips_ref = np.where(valid, np.asarray(_dense_to_band(p, w)), 0)
+    got_strips = np.asarray(_strips_blocked(p, w))
+    np.testing.assert_allclose(strips_ref, got_strips, atol=1e-6)
