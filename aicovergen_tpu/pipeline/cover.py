@@ -419,7 +419,7 @@ class CoverPipeline:
                         vocal_16k = resample_poly_np(vocal_mono, SR_MDX, 16000).astype(
                             np.float64
                         )
-                converted_dev, ai_sr = vc.convert(
+                converted_dev, ai_sr, n_ai = vc.convert(
                     vocal_16k,
                     # float semitones: predict.py-style fractional pitch_change_all
                     # must not be truncated on the vocal path (reference
@@ -434,9 +434,13 @@ class CoverPipeline:
                     metrics=metrics,
                     output="device_int16",
                 )
+                # converted_dev stays padded to its 32 s class; every slice to
+                # the true length happens host-side (device-side [:n] slices
+                # carry content-dependent shapes -> a remote recompile per
+                # song), so the WAV write trims after the download
                 writer.submit(
-                    lambda p=ai_vocals_path, a=converted_dev, s=ai_sr: write_wav(
-                        p, np.asarray(a)[None, :], s
+                    lambda p=ai_vocals_path, a=converted_dev, s=ai_sr, n=n_ai: write_wav(
+                        p, np.asarray(a)[None, :n], s
                     )
                 )
                 ai_float = converted_dev.astype(jnp.float32)[None, :] / 32768.0
@@ -445,18 +449,18 @@ class CoverPipeline:
                 from ..io.audio import read_wav
 
                 ai_vocals, ai_sr = read_wav(ai_vocals_path)
-                ai_float = as_device(ai_vocals)
+                n_ai = ai_vocals.shape[-1]
+                ai_b = as_device(ai_vocals)
+                ai_float = _pad_last(ai_b, _bucket_len(n_ai, ai_sr * 32))
 
-            # --- effects (main.py:293-294); zero-pad to a 32 s length bucket
-            # so each new song length reuses the compiled effects chain (the
-            # chain is causal, so pad+trim is exact)
+            # --- effects (main.py:293-294); the track is padded to a 32 s
+            # length bucket so each new song length reuses the compiled
+            # effects chain (the chain is causal, so pad+trim is exact)
             display_progress("[~] Applying audio effects to Vocals...", 0.8, progress)
             with metrics.stage("effects"):
-                n_ai = ai_float.shape[-1]
-                ai_b = _pad_last(ai_float, _bucket_len(n_ai, ai_sr * 32))
                 ai_vocals_mixed = add_audio_effects_device(
-                    ai_b, ai_sr, reverb_rm_size, reverb_wet, reverb_dry, reverb_damping
-                )[..., :n_ai]
+                    ai_float, ai_sr, reverb_rm_size, reverb_wet, reverb_dry, reverb_damping
+                )
                 _sync(ai_vocals_mixed)
             mixed_path = os.path.splitext(ai_vocals_path)[0] + "_mixed.wav"
             if keep_files:
@@ -464,7 +468,9 @@ class CoverPipeline:
                 # of the run (main.py:304-311) — skip producing it at all
                 q = quantize_int16(ai_vocals_mixed)
                 writer.submit(
-                    lambda p=mixed_path, a=q, s=ai_sr: write_wav(p, np.asarray(a), s)
+                    lambda p=mixed_path, a=q, s=ai_sr, n=n_ai: write_wav(
+                        p, np.asarray(a)[:, :n], s
+                    )
                 )
 
             # --- global pitch shift (main.py:296-299)
@@ -484,11 +490,13 @@ class CoverPipeline:
             # stays in HBM and only the final int16 mix crosses to host
             display_progress("[~] Combining AI Vocals and Instrumentals...", 0.9, progress)
             with metrics.stage("mixdown"):
+                n_44 = n_ai
                 if ai_sr != SR_MDX:
-                    n_ai = ai_vocals_mixed.shape[-1]
-                    ai_b = _pad_last(ai_vocals_mixed, _bucket_len(n_ai, ai_sr * 32))
                     n_44 = -(-n_ai * SR_MDX // ai_sr)  # ceil, == resample_poly len
-                    ai_vocals_mixed = resample(ai_b, ai_sr, SR_MDX)[..., :n_44]
+                    ai_vocals_mixed = resample(ai_vocals_mixed, ai_sr, SR_MDX)
+                # the bucket-padded main keeps combine's program shape static;
+                # the mix contract (pydub overlay keeps the base's length,
+                # main.py:229-233) is restored by the host-side [:n_44] slice
                 mix = combine_audio_device(
                     to_stereo_device(ai_vocals_mixed),
                     to_stereo_device(backup),
@@ -497,7 +505,7 @@ class CoverPipeline:
                     backup_gain,
                     inst_gain,
                 )
-                mix_i16 = np.asarray(quantize_int16(mix))
+                mix_i16 = np.asarray(quantize_int16(mix))[:, :n_44]
                 cover_path = os.path.join(
                     song_dir, f"{base} ({voice_model} Ver).{output_format}"
                 )

@@ -79,6 +79,28 @@ def _gather_segments(src, starts, valid, nb: int):
     return jnp.where(jnp.arange(nb)[None, :] < valid[:, None], seg, 0.0)
 
 
+@partial(jax.jit, static_argnames=("out_len", "trim"))
+def _assemble_output(audio, keep, starts, out_len: int, trim: int):
+    """Synth rows (S, L) -> one (out_len,) track: row i contributes
+    audio[i, trim : trim + keep[i]] at output offset starts[i] (zeros
+    elsewhere; rows with keep 0 contribute nothing).
+
+    This is the reference's per-segment [t_pad_tgt:-t_pad_tgt] trim +
+    concatenation (vc_infer_pipeline.py:584, 638) with traced offsets and a
+    bucketed static output length: segment lengths depend on the energy-
+    minimum split points, i.e. on song CONTENT, so shape-carrying host-side
+    slices would remote-compile fresh programs for every song (~4 s/cover
+    measured on the session backend)."""
+    j = jnp.arange(out_len)
+    out = jnp.zeros((out_len,), audio.dtype)
+    for i in range(audio.shape[0]):  # static, small row count
+        row = jnp.pad(audio[i], (out_len, out_len))
+        shifted = jax.lax.dynamic_slice(row, (out_len + trim - starts[i],), (out_len,))
+        mask = (j >= starts[i]) & (j < starts[i] + keep[i])
+        out = out + jnp.where(mask, shifted, 0)
+    return out
+
+
 @partial(jax.jit, static_argnames=("version",))
 def _features_stage(hubert_params, audio_seg, valid_samples, version: str):
     """(S, L) padded audio batch -> (S, F, C) HuBERT features (padding-masked).
@@ -210,9 +232,10 @@ class VoiceConverter:
         index_rate: float,
         protect: float,
         rng,
+        trim: int = 0,
         metrics: Optional[Metrics] = None,
         as_numpy: bool = True,
-    ) -> List[np.ndarray]:
+    ):
         """All padded spans of one song -> converted audio per span
         (full spans, untrimmed).  `audio_pad` is the reflect-padded DEVICE
         signal; spans index into it.
@@ -246,16 +269,26 @@ class VoiceConverter:
         sid_arr = np.full((rows,), sid, np.int64)
         use_f0 = self.synth_cfg.if_f0
 
+        # output assembly geometry (device path): row i contributes
+        # keep[i] = p_len*upp - 2*trim samples at offset out_starts[i]
+        upp = self.synth_cfg.upp
+        keep = np.zeros((rows,), np.int64)
+        keep[: len(spans)] = [max(p * upp - 2 * trim, 0) for p in p_len_true]
+        out_starts = np.zeros((rows,), np.int64)
+        out_starts[1:] = np.cumsum(keep)[:-1]
+        total = int(keep.sum())
+
         metrics = metrics or Metrics()
         # Small host arrays travel as TWO packed uploads: each separate
         # jnp.asarray costs a serialized ~40 ms round trip on a remote-TPU
-        # tunnel, so starts/valid/p_len/sid/protect ride one f32 row bundle
-        # (all integers here are < 2^24, exact in f32) and pitch/pitchf one
-        # (2, rows, P) bundle; the pieces are sliced off on device.
+        # tunnel, so starts/valid/p_len/sid/protect/keep/out_starts ride one
+        # f32 row bundle (all integers here are < 2^24, exact in f32) and
+        # pitch/pitchf one (2, rows, P) bundle; pieces are sliced on device.
         meta = np.stack([
             starts.astype(np.float32), valid.astype(np.float32),
             p_len_arr.astype(np.float32), sid_arr.astype(np.float32),
             np.full((rows,), protect, np.float32),
+            keep.astype(np.float32), out_starts.astype(np.float32),
         ])
         meta_j = jnp.asarray(meta)
         starts_j = meta_j[0].astype(jnp.int32)
@@ -263,6 +296,8 @@ class VoiceConverter:
         p_len_j = meta_j[2].astype(jnp.int32)
         sid_j = meta_j[3].astype(jnp.int32)
         protect_j = meta_j[4, 0]
+        keep_j = meta_j[5].astype(jnp.int32)
+        out_starts_j = meta_j[6].astype(jnp.int32)
         if use_f0:
             bundle = np.zeros((2, rows, p_len_pad), np.float32)
             for i, (pl, pc, pf) in enumerate(zip(p_len_true, pitches, pitchfs)):
@@ -291,7 +326,10 @@ class VoiceConverter:
             feats = _features_stage(
                 self.hubert_params, batch_j, valid_j, self.synth_cfg.version
             )
-            feats.block_until_ready()
+            # real sync: on the remote backend block_until_ready can return
+            # before execution lands, silently shifting this stage's time
+            # into whichever later call first blocks
+            float(jnp.sum(feats[..., 0, 0].astype(jnp.float32)))
         feats0 = feats
         if self.retriever is not None and index_rate > 0:
             with metrics.stage("vc/retrieval"):
@@ -316,12 +354,16 @@ class VoiceConverter:
             )
             if as_numpy:
                 audio = np.asarray(audio, np.float32)
-            else:
-                # device-resident output: force execution so the stage timing
-                # is honest, but leave the rows in HBM for the caller
-                jax.block_until_ready(audio)
-        upp = self.synth_cfg.upp
-        return [audio[i, : p_len_true[i] * upp] for i in range(len(spans))]
+        if as_numpy:
+            return [audio[i, : p_len_true[i] * upp] for i in range(len(spans))], total
+        # device path: trim + concat in one bucketed program (per-song slice
+        # shapes would remote-compile fresh per cover); stays padded to the
+        # 32 s class until the host boundary
+        with metrics.stage("vc/assemble"):
+            out_len = int(math.ceil(max(total, 1) / (self.tgt_sr * 32))) * self.tgt_sr * 32
+            out = _assemble_output(audio, keep_j, out_starts_j, out_len, trim)
+            float(jnp.sum(out[:2].astype(jnp.float32)))  # honest stage timing
+        return out, total
 
     def convert(
         self,
@@ -344,9 +386,11 @@ class VoiceConverter:
 
         Mirrors VC.pipeline (reference vc_infer_pipeline.py:474-653).
 
-        output="device_int16" keeps the post chain (trim/concat, RMS-envelope
-        mix, resample, int16 normalize) in HBM and returns a device int16
-        array — the cover pipeline feeds it straight into the effects/mixdown
+        output="device_int16" keeps the post chain (trim/concat via the
+        bucketed assemble program, RMS-envelope mix, resample, int16
+        normalize) in HBM and returns (device_int16_padded_to_32s_class,
+        sr, true_length) — the cover pipeline feeds it straight into the
+        effects/mixdown
         programs and downloads it once, in the background, for the WAV cache.
         """
         metrics = metrics or Metrics()
@@ -413,39 +457,47 @@ class VoiceConverter:
             pitchf[a // WINDOW : b // WINDOW] if pitchf is not None else None for a, b in spans
         ]
         device_out = output == "device_int16"
-        converted = self._convert_segments(
+        converted, n_out = self._convert_segments(
             audio_pad, spans, seg_pitch, seg_pitchf, sid, index_rate, protect, rng,
-            metrics=metrics, as_numpy=not device_out,
+            trim=t_pad_tgt, metrics=metrics, as_numpy=not device_out,
         )
-        xp = jnp if device_out else np
-        audio_opt = xp.concatenate([c[t_pad_tgt:-t_pad_tgt] for c in converted])
+        if device_out:
+            audio_opt = converted  # (bucket,) device f32, true length n_out
+        else:
+            audio_opt = np.concatenate([c[t_pad_tgt:-t_pad_tgt] for c in converted])
 
         with metrics.stage("vc/post"):
             if rms_mix_rate != 1:
                 src_b = jnp.pad(audio_trim, (0, (-n_true) % (SR * 32)))
-                out_b, n_out = _pad_bucket_any(audio_opt, self.tgt_sr * 32)
+                if device_out:
+                    out_b = audio_opt  # already padded to the 32 s class
+                else:
+                    out_b, n_out = _pad_bucket_any(audio_opt, self.tgt_sr * 32)
                 audio_opt = mix_rms_envelope(
                     src_b, SR, jnp.asarray(out_b), self.tgt_sr, rms_mix_rate
-                )[:n_out]
+                )
                 if not device_out:
-                    audio_opt = np.asarray(audio_opt)
+                    audio_opt = np.asarray(audio_opt[:n_out])
             out_sr = self.tgt_sr
             if resample_sr >= SR and self.tgt_sr != resample_sr:
-                out_b, n_out = _pad_bucket_any(audio_opt, self.tgt_sr * 32)
-                audio_opt = resample(jnp.asarray(out_b), self.tgt_sr, resample_sr)[
-                    : int(round(n_out * resample_sr / self.tgt_sr))
-                ]
+                if device_out:
+                    out_b = audio_opt
+                else:
+                    out_b, n_out = _pad_bucket_any(audio_opt, self.tgt_sr * 32)
+                audio_opt = resample(jnp.asarray(out_b), self.tgt_sr, resample_sr)
+                n_out = int(round(n_out * resample_sr / self.tgt_sr))
                 if not device_out:
-                    audio_opt = np.asarray(audio_opt)
+                    audio_opt = np.asarray(audio_opt[:n_out])
 
             # int16 normalization (vc_infer_pipeline.py:645-649); on the
             # device path the max-compare happens in HBM — no scalar crosses
-            # to host, the stage stays fully async
+            # to host, and the track stays padded to its 32 s class (the
+            # caller slices to the true length n_out at the host boundary)
             if device_out:
                 audio_opt = jnp.asarray(audio_opt, jnp.float32)
                 audio_max = jnp.max(jnp.abs(audio_opt)) / 0.99
                 scale = jnp.where(audio_max > 1, 32768.0 / audio_max, 32768.0)
-                return (audio_opt * scale).astype(jnp.int16), out_sr
+                return (audio_opt * scale).astype(jnp.int16), out_sr, n_out
             audio_max = np.abs(audio_opt).max() / 0.99
             max_int16 = 32768.0
             if audio_max > 1:

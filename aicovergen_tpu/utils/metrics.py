@@ -26,6 +26,10 @@ class Metrics:
 
     audio_seconds: Optional[float] = None
     stages: Dict[str, float] = field(default_factory=dict)
+    # chronological (name, start, end) records: lets the report name the
+    # wall-time GAPS between stages (host glue, hidden syncs, transfers)
+    # instead of lumping them into one opaque "untracked" number
+    events: list = field(default_factory=list)
 
     @contextlib.contextmanager
     def stage(self, name: str):
@@ -33,7 +37,9 @@ class Metrics:
         try:
             yield
         finally:
-            self.stages[name] = self.stages.get(name, 0.0) + time.perf_counter() - t0
+            t1 = time.perf_counter()
+            self.stages[name] = self.stages.get(name, 0.0) + t1 - t0
+            self.events.append((name, t0, t1))
 
     def add(self, name: str, seconds: float) -> None:
         self.stages[name] = self.stages.get(name, 0.0) + seconds
@@ -42,9 +48,24 @@ class Metrics:
     def total(self) -> float:
         return sum(self.stages.values())
 
+    def gaps(self, min_seconds: float = 0.1) -> Dict[str, float]:
+        """Wall time between consecutive recorded stages (chronological),
+        keyed by the stage each gap follows."""
+        out: Dict[str, float] = {}
+        events = sorted(self.events, key=lambda e: e[1])
+        for (name, _s0, e0), (_n1, s1, _e1) in zip(events, events[1:]):
+            gap = s1 - e0
+            if gap >= min_seconds:
+                key = f"gap_after/{name}"
+                out[key] = out.get(key, 0.0) + gap
+        return out
+
     def report(self) -> dict:
         """{stage: {seconds, rtf}} + totals; rtf = audio-s per wall-s."""
         out = {"stages": {}, "total_seconds": round(self.total, 3)}
+        gaps = {k: round(v, 3) for k, v in self.gaps().items()}
+        if gaps:
+            out["gaps"] = gaps
         for name, secs in self.stages.items():
             entry = {"seconds": round(secs, 3)}
             if self.audio_seconds and secs > 0:
