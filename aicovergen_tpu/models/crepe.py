@@ -139,32 +139,40 @@ def predict(
     decoder: str = "viterbi",
     batch_size: int = 512,
 ) -> Tuple[np.ndarray, np.ndarray]:
-    """torchcrepe.predict equivalent: (f0_hz, periodicity) per frame."""
+    """torchcrepe.predict equivalent: (f0_hz, periodicity) per frame.
+
+    Device-resident: frames go up in one padded transfer, every batch is
+    dispatched before anything blocks, and the salience stays in HBM
+    through masking/viterbi/decode — only the (n,) f0 + periodicity come
+    back.  (The previous per-batch np.asarray loop serialized eight
+    ~70 ms round trips per 30 s of audio on a remote-TPU tunnel.)"""
     frames = frame_audio(np.asarray(audio, np.float32), hop_length)
-    outs = []
     n = frames.shape[0]
-    pad_n = (-n) % batch_size if n > batch_size else 0
+    pad_n = (-n) % batch_size
     fr = np.concatenate([frames, np.zeros((pad_n, WINDOW_SIZE), np.float32)]) if pad_n else frames
-    for i in range(0, fr.shape[0], batch_size):
-        outs.append(np.asarray(crepe_forward(params, jnp.asarray(fr[i : i + batch_size]), capacity)))
-    probs = np.concatenate(outs)[:n]
+    fr_dev = jnp.asarray(fr)  # one upload
+    outs = [
+        crepe_forward(params, fr_dev[i : i + batch_size], capacity)
+        for i in range(0, fr.shape[0], batch_size)
+    ]
+    probs = jnp.concatenate(outs)[:n]  # length-class shape (audio len, hop)
 
     # restrict to [fmin, fmax] bins (torchcrepe masks outside the range)
     cents_min = 1200 * np.log2(fmin / 10.0)
     cents_max = 1200 * np.log2(fmax / 10.0)
     bin_cents = CENTS_PER_BIN * np.arange(N_BINS) + CENTS_OFFSET
     mask = (bin_cents >= cents_min) & (bin_cents <= cents_max)
-    probs = probs * mask[None, :]
+    probs = probs * jnp.asarray(mask)[None, :]
 
-    pj = jnp.asarray(probs)
     if decoder == "viterbi":
-        bins = viterbi_bins(pj)
+        bins = viterbi_bins(probs)
     else:
-        bins = jnp.argmax(pj, axis=1)
-    cents = weighted_argmax_cents(pj, bins)
-    f0 = np.asarray(cents_to_hz(cents))
-    periodicity = np.take_along_axis(probs, np.asarray(bins)[:, None], axis=1)[:, 0]
-    return f0, periodicity
+        bins = jnp.argmax(probs, axis=1)
+    cents = weighted_argmax_cents(probs, bins)
+    f0_dev = cents_to_hz(cents)
+    per_dev = jnp.take_along_axis(probs, bins[:, None], axis=1)[:, 0]
+    both = np.asarray(jnp.stack([f0_dev, per_dev.astype(jnp.float32)]))  # one download
+    return both[0], both[1]
 
 
 def torchcrepe_state_to_tree(state) -> dict:
