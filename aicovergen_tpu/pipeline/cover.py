@@ -489,8 +489,8 @@ class CoverPipeline:
             # --- mixdown (main.py:301-302): align rates to 44.1k; everything
             # stays in HBM and only the final int16 mix crosses to host
             display_progress("[~] Combining AI Vocals and Instrumentals...", 0.9, progress)
-            with metrics.stage("mixdown"):
-                n_44 = n_ai
+            n_44 = n_ai
+            with metrics.stage("mixdown/combine"):
                 if ai_sr != SR_MDX:
                     n_44 = -(-n_ai * SR_MDX // ai_sr)  # ceil, == resample_poly len
                     ai_vocals_mixed = resample(ai_vocals_mixed, ai_sr, SR_MDX)
@@ -505,7 +505,11 @@ class CoverPipeline:
                     backup_gain,
                     inst_gain,
                 )
-                mix_i16 = np.asarray(quantize_int16(mix))[:, :n_44]
+                q_mix = quantize_int16(mix)
+                _sync(q_mix)
+            with metrics.stage("mixdown/fetch"):
+                mix_i16 = np.asarray(q_mix)[:, :n_44]
+            with metrics.stage("mixdown/encode"):
                 cover_path = os.path.join(
                     song_dir, f"{base} ({voice_model} Ver).{output_format}"
                 )
