@@ -163,12 +163,23 @@ def bench_cover(reps: int, seconds: float) -> dict:
         os.remove(song)
         return wall, metrics
 
+    # the first sync of a fresh process can absorb minutes of backend
+    # init / stale-lease wait on the remote-TPU tunnel (measured 70-770 s,
+    # unrelated to this code) — pay it before the budget clock starts
+    import jax.numpy as jnp
+
+    t0 = time.time()
+    float(jnp.sum(jnp.ones((8,), jnp.float32)))
+    print(f"[bench] device wake: {time.time() - t0:.1f}s", file=sys.stderr)
+
     # full-length warmup: compiles/loads every program (the remote-TPU
     # backend has a fixed ~1 min per-program executable-load cost per
     # process, so the warmup dominates; reps after it are steady-state).
-    # A wall budget guarantees the JSON line is emitted even when compiles
-    # eat most of the window: the warmup pass itself is the fallback rep.
-    budget = float(os.environ.get("AICG_BENCH_BUDGET", 480))
+    # The budget bounds EXTRA reps only: one steady rep (~10 s) always runs
+    # after warmup, so the reported number is never the warmup pass unless
+    # the warmup itself exceeds the hard cap.
+    budget = float(os.environ.get("AICG_BENCH_BUDGET", 1200))
+    hard_cap = float(os.environ.get("AICG_BENCH_HARD_CAP", 3000))
     t_start = time.time()
     walls, stage_reports = [], []
 
@@ -177,7 +188,12 @@ def bench_cover(reps: int, seconds: float) -> dict:
     warmup_report = metrics.report()
 
     rep = 0
-    while rep < reps and time.time() - t_start + (walls[-1] if walls else 60) < budget:
+    while rep < reps and (
+        rep == 0  # always take one steady-state rep
+        or time.time() - t_start + (walls[-1] if walls else 60) < budget
+    ):
+        if rep == 0 and time.time() - t_start > hard_cap:
+            break
         wall, metrics = run(rep + 1, seconds)
         walls.append(wall)
         stage_reports.append(metrics.report())
@@ -188,7 +204,7 @@ def bench_cover(reps: int, seconds: float) -> dict:
         best = int(np.argmin(walls))
         best_wall, best_report = walls[best], stage_reports[best]
         steady = True
-    else:  # budget exhausted during warmup — report the warmup pass itself
+    else:  # hard cap exhausted during warmup — report the warmup pass itself
         best_wall, best_report = wall, warmup_report
         steady = False
     rtf = seconds / best_wall
