@@ -29,14 +29,19 @@ def linear_interp_1d(values: jnp.ndarray, out_len: int) -> jnp.ndarray:
 
 
 def frame_rms(x: jnp.ndarray, frame_length: int, hop_length: int) -> jnp.ndarray:
-    """librosa.feature.rms equivalent (center=True, zero pad)."""
+    """librosa.feature.rms equivalent (center=True, zero pad).
+
+    The frame index is generated in-graph (iota): as a host-numpy constant
+    it gets baked into the executable — measured 115 MB of HLO for the
+    cover pipeline's rms-mix program, dominating its cold-start load."""
     pad = frame_length // 2
     xp = jnp.pad(x, (pad, pad))
     n_frames = 1 + (xp.shape[-1] - frame_length) // hop_length
-    idx = (np.arange(n_frames)[:, None] * hop_length + np.arange(frame_length)[None, :]).astype(
-        np.int32
+    idx = (
+        jnp.arange(n_frames, dtype=jnp.int32)[:, None] * hop_length
+        + jnp.arange(frame_length, dtype=jnp.int32)[None, :]
     )
-    frames = xp[idx]
+    frames = jnp.take(xp, idx, axis=-1)
     return jnp.sqrt(jnp.mean(jnp.square(frames), axis=-1))
 
 

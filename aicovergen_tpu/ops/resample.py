@@ -66,9 +66,18 @@ def _polyphase_bank(up: int, down: int):
     return bank, margin, width
 
 
-@functools.partial(jax.jit, static_argnames=("up", "down"))
-def _resample_jax(x: jnp.ndarray, up: int, down: int) -> jnp.ndarray:
+@functools.lru_cache(maxsize=16)
+def _polyphase_bank_device(up: int, down: int):
+    """The filter bank as a cached DEVICE array: passed to the jit as an
+    argument so it is neither baked into the executable as a constant nor
+    re-uploaded per call."""
     bank, margin, width = _polyphase_bank(up, down)
+    return jnp.asarray(bank), margin, width
+
+
+@functools.partial(jax.jit, static_argnames=("up", "down", "margin", "width"))
+def _resample_call(x: jnp.ndarray, bank: jnp.ndarray, up: int, down: int,
+                   margin: int, width: int) -> jnp.ndarray:
     length = x.shape[-1]
     out_len = -(-length * up // down)  # ceil, == scipy.resample_poly
     n_frames = -(-out_len // up)
@@ -83,13 +92,18 @@ def _resample_jax(x: jnp.ndarray, up: int, down: int) -> jnp.ndarray:
     )[None, :]
     frames = jnp.take(xp, idx, axis=-1)  # (..., n_frames, width)
     y = jnp.einsum(
-        "...bq,pq->...bp", frames, jnp.asarray(bank),
+        "...bq,pq->...bp", frames, bank,
         # true-f32 accumulation: the measured backends execute
         # default-precision f32 dots as bf16, which is audible (-42 dB)
         precision=jax.lax.Precision.HIGHEST,
         preferred_element_type=jnp.float32,
     )
     return y.reshape(x.shape[:-1] + (n_frames * up,))[..., :out_len]
+
+
+def _resample_jax(x: jnp.ndarray, up: int, down: int) -> jnp.ndarray:
+    bank, margin, width = _polyphase_bank_device(up, down)
+    return _resample_call(x, bank, up, down, margin, width)
 
 
 def resample(x: jnp.ndarray, sr_in: int, sr_out: int) -> jnp.ndarray:

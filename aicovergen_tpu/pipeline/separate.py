@@ -110,9 +110,14 @@ def chunk_wave_device(wave: jnp.ndarray, params: MDXParams) -> tuple[jnp.ndarray
     gen_size = params.chunk_size - 2 * trim
     pad = gen_size - n_sample % gen_size
     wave_p = jnp.pad(wave, ((0, 0), (trim, pad + trim)))
-    starts = np.arange(0, n_sample + pad, gen_size)
-    idx = starts[:, None] + np.arange(params.chunk_size)[None, :]  # (C, chunk)
-    return jnp.take(wave_p, jnp.asarray(idx), axis=1).swapaxes(0, 1), pad
+    n_chunks = (n_sample + pad) // gen_size
+    # index generated on device (iota): as a host array it would be a ~22 MB
+    # upload per separation stage over a remote-TPU tunnel
+    idx = (
+        jnp.arange(n_chunks, dtype=jnp.int32)[:, None] * gen_size
+        + jnp.arange(params.chunk_size, dtype=jnp.int32)[None, :]
+    )  # (C, chunk)
+    return jnp.take(wave_p, idx, axis=1).swapaxes(0, 1), pad
 
 
 def join_chunks(out_chunks, params: MDXParams, n_sample: int):
