@@ -122,6 +122,15 @@ def zero_phase_fft(b, a, x: jnp.ndarray, pad_seconds_samples: int = 16000) -> jn
     as one rfft/irfft pair — the TPU-native path for the VC input high-pass
     (reference vc_infer_pipeline.py:513).  The time-domain SOS cascade
     (sosfiltfilt above) remains for exact-parity needs.
+
+    PRECONDITION: the filter's zero-phase impulse response must decay to
+    negligible within `padlen` samples (min(pad_seconds_samples, T-1)).
+    The FFT length is rounded up to a power of two, so the trailing zero
+    pad wraps circularly; a narrow/long-IR filter (e.g. a sub-Hz notch)
+    would leak tail energy into the signal head.  The 48 Hz high-pass this
+    serves has an IR of ~10^2 samples — far inside the 16000-sample guard.
+    New call sites with sharper filters must raise pad_seconds_samples (or
+    use sosfiltfilt).
     """
     x = jnp.asarray(x)
     T = x.shape[-1]

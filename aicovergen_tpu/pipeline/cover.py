@@ -493,6 +493,12 @@ class CoverPipeline:
             with metrics.stage("mixdown/combine"):
                 if ai_sr != SR_MDX:
                     n_44 = -(-n_ai * SR_MDX // ai_sr)  # ceil, == resample_poly len
+                    # zero the bucket pad beyond n_ai first: the symmetric
+                    # polyphase kernel would otherwise read reverb-tail
+                    # samples the reference's trimmed-then-resampled track
+                    # never sees, diverging in the last ~half_len samples
+                    idx = jnp.arange(ai_vocals_mixed.shape[-1])
+                    ai_vocals_mixed = jnp.where(idx < n_ai, ai_vocals_mixed, 0.0)
                     ai_vocals_mixed = resample(ai_vocals_mixed, ai_sr, SR_MDX)
                 # the bucket-padded main keeps combine's program shape static;
                 # the mix contract (pydub overlay keeps the base's length,

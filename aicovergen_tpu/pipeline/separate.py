@@ -159,12 +159,15 @@ def make_chunk_runner(
     try:
         cache = model_fn.__dict__.setdefault("_aicg_runners", {})
         if key in cache:
-            return cache[key]
+            return cache[key][0]
     except AttributeError:  # callables without a __dict__
         cache = None
     runner = _build_chunk_runner(model_fn, params, batch_size, shard, compute_dtype)
     if cache is not None:
-        cache[key] = runner
+        # keep a strong reference to the shard object in the entry: the key
+        # uses id(shard), and a recycled address after GC must not resolve a
+        # stale runner closed over a different sharding
+        cache[key] = (runner, shard)
     return runner
 
 

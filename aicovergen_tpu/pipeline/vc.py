@@ -282,22 +282,28 @@ class VoiceConverter:
         # Small host arrays travel as TWO packed uploads: each separate
         # jnp.asarray costs a serialized ~40 ms round trip on a remote-TPU
         # tunnel, so starts/valid/p_len/sid/protect/keep/out_starts ride one
-        # f32 row bundle (all integers here are < 2^24, exact in f32) and
-        # pitch/pitchf one (2, rows, P) bundle; pieces are sliced on device.
+        # int32 row bundle and pitch/pitchf one (2, rows, P) bundle; pieces
+        # are sliced on device.  int32 (not f32): starts/out_starts are
+        # sample offsets that cross 2^24 after ~6 min of audio at tgt_sr and
+        # would silently round to even in f32, shifting segment joins by
+        # 1-2 samples.  `protect` is the one float — it rides bit-cast so
+        # the bundle stays exact end to end.
+        if int(starts.max()) >= 2**31 or total >= 2**31:
+            raise ValueError("audio too long: sample offsets exceed int32")
+        protect_bits = np.float32(protect).view(np.int32)
         meta = np.stack([
-            starts.astype(np.float32), valid.astype(np.float32),
-            p_len_arr.astype(np.float32), sid_arr.astype(np.float32),
-            np.full((rows,), protect, np.float32),
-            keep.astype(np.float32), out_starts.astype(np.float32),
-        ])
+            starts, valid, p_len_arr, sid_arr,
+            np.full((rows,), protect_bits, np.int64),
+            keep, out_starts,
+        ]).astype(np.int32)
         meta_j = jnp.asarray(meta)
-        starts_j = meta_j[0].astype(jnp.int32)
-        valid_j = meta_j[1].astype(jnp.int32)
-        p_len_j = meta_j[2].astype(jnp.int32)
-        sid_j = meta_j[3].astype(jnp.int32)
-        protect_j = meta_j[4, 0]
-        keep_j = meta_j[5].astype(jnp.int32)
-        out_starts_j = meta_j[6].astype(jnp.int32)
+        starts_j = meta_j[0]
+        valid_j = meta_j[1]
+        p_len_j = meta_j[2]
+        sid_j = meta_j[3]
+        protect_j = jax.lax.bitcast_convert_type(meta_j[4, 0], jnp.float32)
+        keep_j = meta_j[5]
+        out_starts_j = meta_j[6]
         if use_f0:
             bundle = np.zeros((2, rows, p_len_pad), np.float32)
             for i, (pl, pc, pf) in enumerate(zip(p_len_true, pitches, pitchfs)):

@@ -14,6 +14,7 @@ job usually holds the only host copy of one stem.
 
 from __future__ import annotations
 
+import logging
 from concurrent.futures import Future, ThreadPoolExecutor
 from typing import Callable, List
 
@@ -43,9 +44,13 @@ class AsyncWriter:
 
     def __exit__(self, exc_type, exc, tb) -> None:
         # on an exception unwind, still drain the queue but do not mask the
-        # original error with a writer error
+        # original error with a writer error — log it instead so a failed
+        # cache write (disk full, bad path) leaves a trace
         try:
             self.close()
         except Exception:
             if exc_type is None:
                 raise
+            logging.getLogger("aicovergen.host_io").exception(
+                "async write failed while unwinding from another error"
+            )
