@@ -12,48 +12,50 @@ from ..pipeline.cover import CoverPipeline
 
 
 def build_parser() -> argparse.ArgumentParser:
+    # Flag names, types, and defaults match the reference CLI surface
+    # (reference src/main.py:319-355); the help prose is this project's own.
     parser = argparse.ArgumentParser(
-        description="Generate a AI cover song in the song_output/id directory.",
+        description="Create an AI cover of a song; results land in song_output/<id>/.",
         add_help=True,
     )
     parser.add_argument("-i", "--song-input", type=str, required=True,
-                        help="Link to a YouTube video or the filepath to a local mp3/wav file to create an AI cover of")
+                        help="Source song: a YouTube URL or a path to a local audio file (mp3/wav)")
     parser.add_argument("-dir", "--rvc-dirname", type=str, required=True,
-                        help="Name of the folder in the rvc_models directory containing the RVC model file and optional index file to use")
+                        help="Voice to convert to: a subfolder of rvc_models/ holding one .pth model and, optionally, a faiss .index file")
     parser.add_argument("-p", "--pitch-change", type=int, required=True,
-                        help="Change the pitch of AI Vocals only. Generally, use 1 for male to female and -1 for vice-versa. (Octaves)")
+                        help="Octave shift applied to the converted vocals only (1 ~ male voice to female target, -1 the reverse, 0 none)")
     parser.add_argument("-k", "--keep-files", action=argparse.BooleanOptionalAction,
-                        help="Whether to keep all intermediate audio files generated in the song_output/id directory, e.g. Isolated Vocals/Instrumentals")
+                        help="Keep the intermediate stems (isolated vocals, instrumental, de-reverb, ...) in song_output/<id>/ instead of deleting them after the mix")
     parser.add_argument("-ir", "--index-rate", type=float, default=0.5,
-                        help="A decimal number e.g. 0.5, used to reduce/resolve the timbre leakage problem. If set to 1, more biased towards the timbre quality of the training dataset")
+                        help="Retrieval blend weight in [0, 1]: how strongly HuBERT features are pulled toward the voice's training-set index (1 = maximum target timbre, 0 = retrieval off)")
     parser.add_argument("-fr", "--filter-radius", type=int, default=3,
-                        help="A number between 0 and 7. If >=3: apply median filtering to the harvested pitch results. The value represents the filter radius and can reduce breathiness.")
+                        help="Median-filter radius (0-7) applied to the estimated pitch track when >= 3; smooths octave flickers and breathy frames")
     parser.add_argument("-rms", "--rms-mix-rate", type=float, default=0.25,
-                        help="A decimal number e.g. 0.25. Control how much to use the original vocal's loudness (0) or a fixed loudness (1).")
+                        help="Loudness-envelope blend in [0, 1]: 0 follows the source vocal's dynamics, 1 uses the synthesizer's flat level")
     parser.add_argument("-palgo", "--pitch-detection-algo", type=str, default="rmvpe",
-                        help="Best option is rmvpe (clarity in vocals), then mangio-crepe (smoother vocals).")
+                        help="Pitch tracker: rmvpe (default, cleanest), mangio-crepe (smoother), or crepe/pm/harvest/dio/hybrid variants. NOTE: harvest and dio here are role-equivalent autocorrelation estimators, not numerically pyworld-identical (see pipeline/f0.py)")
     parser.add_argument("-hop", "--crepe-hop-length", type=int, default=128,
-                        help="If pitch detection algo is mangio-crepe, controls how often it checks for pitch changes in milliseconds. The higher the value, the faster the conversion and less risk of voice cracks, but there is less pitch accuracy. Recommended: 128.")
+                        help="mangio-crepe analysis hop in samples; larger hops run faster and crack less but track pitch more coarsely (128 is a good middle)")
     parser.add_argument("-pro", "--protect", type=float, default=0.33,
-                        help="A decimal number e.g. 0.33. Protect voiceless consonants and breath sounds to prevent artifacts such as tearing in electronic music. Set to 0.5 to disable. Decrease the value to increase protection, but it may reduce indexing accuracy.")
+                        help="Consonant/breath protection threshold in [0, 0.5]: unvoiced frames keep their raw features below this value; 0.5 turns protection off entirely; smaller protects more at some cost to index accuracy")
     parser.add_argument("-mv", "--main-vol", type=int, default=0,
-                        help="Volume change for AI main vocals in decibels. Use -3 to decrease by 3 decibels and 3 to increase by 3 decibels")
+                        help="Gain in dB applied to the converted main vocal in the final mix (negative attenuates)")
     parser.add_argument("-bv", "--backup-vol", type=int, default=0,
-                        help="Volume change for backup vocals in decibels")
+                        help="Gain in dB applied to the backup-vocal stem in the final mix")
     parser.add_argument("-iv", "--inst-vol", type=int, default=0,
-                        help="Volume change for instrumentals in decibels")
+                        help="Gain in dB applied to the instrumental stem in the final mix")
     parser.add_argument("-pall", "--pitch-change-all", type=int, default=0,
-                        help="Change the pitch/key of vocals and instrumentals. Changing this slightly reduces sound quality")
+                        help="Semitone shift applied to EVERY stem (key change for the whole song); nonzero values cost a little fidelity on the instrumental")
     parser.add_argument("-rsize", "--reverb-size", type=float, default=0.15,
-                        help="Reverb room size between 0 and 1")
+                        help="Simulated room size for the vocal reverb, 0-1")
     parser.add_argument("-rwet", "--reverb-wetness", type=float, default=0.2,
-                        help="Reverb wet level between 0 and 1")
+                        help="Reverb wet-signal level, 0-1")
     parser.add_argument("-rdry", "--reverb-dryness", type=float, default=0.8,
-                        help="Reverb dry level between 0 and 1")
+                        help="Reverb dry-signal level, 0-1")
     parser.add_argument("-rdamp", "--reverb-damping", type=float, default=0.7,
-                        help="Reverb damping between 0 and 1")
+                        help="High-frequency damping of the reverb tail, 0-1")
     parser.add_argument("-oformat", "--output-format", type=str, default="mp3",
-                        help="Output format of audio file. mp3 for smaller file size, wav for best quality")
+                        help="Container for the final mix: mp3 (compact) or wav (lossless)")
     parser.add_argument("--base-dir", type=str, default=None,
                         help="Directory holding rvc_models/, mdxnet_models/, song_output/ (default: $AICG_BASE_DIR or cwd)")
     return parser

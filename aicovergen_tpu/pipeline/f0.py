@@ -111,6 +111,29 @@ def autocorr_f0(
 # ---------------------------------------------------------------------------
 
 
+_world_warned: set = set()
+
+
+def _warn_world_divergence(method: str) -> None:
+    """One-time user-facing notice: our harvest/dio play the *role* of
+    pyworld's estimators (same f0 range, frame rate, and downstream
+    contract) but are a different algorithm — converted covers can differ
+    from the reference when these methods are selected.  The default
+    (rmvpe) and crepe paths ARE parity-tested."""
+    if method not in _world_warned:
+        _world_warned.add(method)
+        import logging
+
+        logging.getLogger("aicovergen.f0").warning(
+            "f0 method '%s' is a role-equivalent autocorrelation estimator, "
+            "not a numerical port of pyworld %s — pitch tracks may differ "
+            "from the reference. rmvpe (default) and mangio-crepe are "
+            "parity-tested alternatives.",
+            method,
+            method,
+        )
+
+
 def dio_f0(x: np.ndarray, p_len: int) -> np.ndarray:
     """pyworld.dio+stonemask role (reference vc_infer_pipeline.py:300-309):
     ACF candidates refined by instantaneous frequency around each estimate."""
@@ -240,6 +263,7 @@ class F0Estimator:
         if method == "pm":
             return autocorr_f0(x, p_len)
         if method in ("harvest", "dio"):
+            _warn_world_divergence(method)
             f0 = dio_f0(x, p_len)
             if method == "dio" or filter_radius > 2:
                 f0 = np.asarray(medfilt(jnp.asarray(f0), 3))
