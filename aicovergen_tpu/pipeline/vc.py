@@ -22,6 +22,7 @@ from both ends of each converted span, concatenate.
 from __future__ import annotations
 
 import math
+import os
 from dataclasses import dataclass
 from functools import partial
 from typing import List, Optional, Tuple
@@ -111,7 +112,7 @@ def _features_stage(hubert_params, audio_seg, valid_samples, version: str):
     )
 
 
-@partial(jax.jit, static_argnames=("cfg", "use_f0"))
+@partial(jax.jit, static_argnames=("cfg", "use_f0", "zero_noise"))
 def _synth_stage(
     synth_params,
     feats,
@@ -124,13 +125,18 @@ def _synth_stage(
     cfg: RVCConfig,
     use_f0: bool,
     rng,
+    zero_noise: bool = False,
 ):
     """Protect blend + .infer (reference vc_infer_pipeline.py:433-465).
     All inputs carry a leading segment-batch axis S; returns (S, T_out) fp32.
 
     Noise is drawn per row from fold_in(rng, row): row i's draw is identical
     no matter how many filler rows pad the batch, so sharded / unsharded /
-    re-bucketed runs produce bit-identical segments."""
+    re-bucketed runs produce bit-identical segments.
+
+    `zero_noise` (AICG_ZERO_NOISE=1) suppresses the z_p and harmonic-source
+    noise draws — the deterministic mode the reference-parity harness uses
+    to compare against the torch pipeline with rand/randn patched to zero."""
     dtype = tree_dtype(synth_params)
     feats = jnp.repeat(feats.astype(dtype), 2, axis=1)  # 2x nearest time upsample (:433)
     if use_f0:
@@ -148,7 +154,11 @@ def _synth_stage(
             jax.random.normal(k2, (t2 * cfg.upp, 1), jnp.float32),
         )
 
-    zp_noise, sine_noise = jax.vmap(row_noise)(jnp.arange(rows))
+    if zero_noise:
+        zp_noise = jnp.zeros((rows, cfg.inter_channels, t2), dtype)
+        sine_noise = jnp.zeros((rows, t2 * cfg.upp, 1), jnp.float32)
+    else:
+        zp_noise, sine_noise = jax.vmap(row_noise)(jnp.arange(rows))
     audio = synthesizer_infer(
         synth_params,
         cfg,
@@ -357,6 +367,7 @@ class VoiceConverter:
                 self.synth_cfg,
                 use_f0,
                 rng,
+                zero_noise=os.environ.get("AICG_ZERO_NOISE", "0") == "1",
             )
             if as_numpy:
                 audio = np.asarray(audio, np.float32)

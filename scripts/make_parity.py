@@ -1,0 +1,483 @@
+"""Full-song, multi-segment parity: reference torch VC.pipeline vs ours.
+
+The round-1 goldens pinned every module at toy shapes; this harness retires
+the remaining full-scale risk (VERDICT r01 #2/#8): it drives the reference's
+ACTUAL host pipeline (/root/reference/src/vc_infer_pipeline.py:474-653) on a
+multi-segment song — exercising the energy-minimum split search, whole-track
+f0, per-segment HuBERT/retrieval/synthesis, pad-trim-concat assembly, RMS
+envelope mix, and int16 normalize — then runs our VoiceConverter.convert on
+the same audio with the SAME weights loaded through our real converters from
+reference-format files, and measures waveform + spectral correlation.
+
+Weights are seeded-random but travel in the reference's own on-disk formats:
+  * RVC ``.pth``  {config, weight, f0, version}   (reference src/rvc.py:112-143)
+  * ``rmvpe.pt``  raw E2E state dict              (reference src/rmvpe.py:328-337)
+  * ``hubert_base.pt`` transformers HubertModel state dict (public fairseq twin)
+  * faiss IVF-Flat ``.index``                     (written by retrieval/faiss_io)
+
+The reference's missing C++ deps are stubbed ONLY where the rmvpe+index path
+touches them: faiss.read_index (backed by our parser + an nprobe-faithful
+numpy search) and librosa.feature.rms (numpy transcription).  pyworld /
+parselmouth / torchcrepe stubs raise if touched.
+
+Determinism: torch rand/randn patched to zeros (as scripts/make_fixtures.py)
+and AICG_ZERO_NOISE=1 on our side; SineGen's rand_ini is structurally zero
+for harmonic_num=0 (reference models.py:337-341).
+
+Outputs:
+  PARITY_r02.json                  — the north-star numbers (committed)
+  tests/fixtures/parity_full_song.npz — reference output + config so
+      tests/test_full_parity.py re-checks our side without torch (committed)
+
+Usage:  python scripts/make_parity.py [--seconds 85] [--index-rate 0.5]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import types
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+REF_SRC = "/root/reference/src"
+ASSETS = os.path.join(REPO, ".parity_assets")
+FIXTURES = os.path.join(REPO, "tests", "fixtures")
+
+# our pipeline on CPU, fp32, zero synthesis noise, 5G-tier segmentation
+os.environ["JAX_PLATFORMS"] = "cpu"
+os.environ["AICG_PLATFORM"] = "cpu"
+os.environ["AICG_TPU_BF16"] = "0"
+os.environ["AICG_ZERO_NOISE"] = "1"
+os.environ["AICG_X_PAD"] = "1"
+os.environ["AICG_X_QUERY"] = "6"
+os.environ["AICG_X_CENTER"] = "38"
+os.environ["AICG_X_MAX"] = "41"
+
+sys.path.insert(0, REPO)
+
+# sitecustomize imports jax before this script runs, so the env var alone is
+# ignored — force the CPU backend explicitly (never run parity on the shared
+# remote TPU)
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")
+
+
+# --------------------------------------------------------------------------
+# stub modules for the reference's absent C++ deps
+# --------------------------------------------------------------------------
+
+def _install_stubs():
+    # the reference predates numpy 1.24's removal of the `np.int` alias
+    # (vc_infer_pipeline.py:368); restore it for the reference run only
+    if not hasattr(np, "int"):
+        np.int = int  # type: ignore[attr-defined]
+
+    from aicovergen_tpu.retrieval.faiss_io import read_faiss_index
+
+    class _IndexStub:
+        """faiss.IndexIVFFlat facade over our parser: reconstruct_n by id,
+        and search with faiss's default nprobe semantics (query -> nearest
+        `nprobe` centroids -> exact L2 over those lists only)."""
+
+        def __init__(self, path):
+            self._ix = read_faiss_index(path)
+            self.ntotal = self._ix.vectors.shape[0]
+            self.nprobe = self._ix.nprobe
+
+        def reconstruct_n(self, start, n):
+            return np.array(self._ix.vectors[start : start + n], np.float32)
+
+        def search(self, queries, k):
+            q = np.asarray(queries, np.float32)
+            vecs = self._ix.vectors
+            cents = self._ix.centroids
+            assign = self._ix.list_assignment
+            cd = ((q[:, None, :] - cents[None, :, :]) ** 2).sum(-1)
+            probes = np.argsort(cd, axis=1)[:, : self.nprobe]  # (Q, nprobe)
+            D = np.full((len(q), k), np.inf, np.float32)
+            I = np.full((len(q), k), -1, np.int64)
+            for qi in range(len(q)):
+                cand = np.flatnonzero(np.isin(assign, probes[qi]))
+                d = ((vecs[cand] - q[qi]) ** 2).sum(-1)
+                order = np.argsort(d)[:k]
+                D[qi, : len(order)] = d[order]
+                I[qi, : len(order)] = cand[order]
+            return D, I
+
+    import importlib.machinery
+
+    def _stub_module(name):
+        mod = types.ModuleType(name)
+        mod.__spec__ = importlib.machinery.ModuleSpec(name, None)
+        return mod
+
+    faiss_stub = _stub_module("faiss")
+    faiss_stub.read_index = _IndexStub
+    sys.modules["faiss"] = faiss_stub
+
+    def _rms(*, y, frame_length, hop_length):
+        # librosa.feature.rms: center=True, constant (zero) padding
+        y_p = np.pad(np.asarray(y, np.float64), (frame_length // 2, frame_length // 2))
+        n = 1 + (len(y_p) - frame_length) // hop_length
+        idx = np.arange(n)[:, None] * hop_length + np.arange(frame_length)[None, :]
+        frames = y_p[idx]
+        return np.sqrt(np.mean(frames**2, axis=1, dtype=np.float64))[None, :].astype(
+            np.float32
+        )
+
+    librosa_stub = _stub_module("librosa")
+    feature_stub = _stub_module("librosa.feature")
+    feature_stub.rms = _rms
+    filters_stub = _stub_module("librosa.filters")
+
+    def _mel(*, sr, n_fft, n_mels, fmin, fmax, htk=False):
+        from aicovergen_tpu.ops.mel import mel_filterbank
+
+        return mel_filterbank(sr, n_fft, n_mels, fmin, fmax, htk=htk)
+
+    filters_stub.mel = _mel
+    librosa_stub.feature = feature_stub
+    librosa_stub.filters = filters_stub
+    sys.modules["librosa"] = librosa_stub
+    sys.modules["librosa.feature"] = feature_stub
+    sys.modules["librosa.filters"] = filters_stub
+
+    for name in ("parselmouth", "pyworld", "torchcrepe"):
+        mod = _stub_module(name)
+
+        def _getattr(attr, _n=name):
+            if attr.startswith("__"):
+                raise AttributeError(attr)
+            raise RuntimeError(f"{_n} stub touched — rmvpe path should not reach it")
+
+        mod.__getattr__ = _getattr
+        sys.modules[name] = mod
+
+
+# --------------------------------------------------------------------------
+# asset construction (reference on-disk formats, seeded weights)
+# --------------------------------------------------------------------------
+
+RVC_CFG = [
+    1025, 32, 192, 192, 768, 2, 6, 3, 0.0, "1",
+    [3, 7, 11], [[1, 3, 5], [1, 3, 5], [1, 3, 5]],
+    [10, 10, 2, 2], 512, [16, 16, 4, 4], 109, 256, 40000,
+]
+TGT_SR = 40000
+
+
+def build_assets():
+    import torch
+
+    os.makedirs(os.path.join(ASSETS, "rvc_models", "ParityVoice"), exist_ok=True)
+
+    sys.path.insert(0, REF_SRC)
+    from infer_pack import models as ref_models
+
+    torch.manual_seed(0)
+    net = ref_models.SynthesizerTrnMs768NSFsid(*RVC_CFG, is_half=False)
+    net.eval()
+    pth = os.path.join(ASSETS, "rvc_models", "ParityVoice", "parity.pth")
+    torch.save(
+        {"config": RVC_CFG, "weight": net.state_dict(), "f0": 1, "version": "v2"},
+        pth,
+    )
+
+    torch.manual_seed(2)
+    from transformers import HubertConfig, HubertModel
+
+    hcfg = HubertConfig(
+        hidden_size=768,
+        num_hidden_layers=12,
+        num_attention_heads=12,
+        intermediate_size=3072,
+        do_stable_layer_norm=False,
+        feat_extract_norm="group",
+    )
+    hubert = HubertModel(hcfg)
+    hubert.eval()
+    torch.save(hubert.state_dict(), os.path.join(ASSETS, "rvc_models", "hubert_base.pt"))
+
+    torch.manual_seed(3)
+    import importlib
+
+    rmvpe_mod = importlib.import_module("rmvpe")
+    e2e = rmvpe_mod.E2E(4, 1, (2, 2))
+    e2e.eval()
+    torch.save(e2e.state_dict(), os.path.join(ASSETS, "rvc_models", "rmvpe.pt"))
+
+    # faiss IVF-Flat index over a synthetic 768-d codebook
+    from aicovergen_tpu.retrieval.faiss_io import write_ivf_flat_index
+
+    rng = np.random.default_rng(5)
+    ntotal, d, nlist = 2048, 768, 4
+    centroids = rng.standard_normal((nlist, d)).astype(np.float32) * 0.05
+    assign = rng.integers(0, nlist, ntotal)
+    vectors = (centroids[assign] + rng.standard_normal((ntotal, d)) * 0.3).astype(
+        np.float32
+    )
+    index_path = os.path.join(ASSETS, "rvc_models", "ParityVoice", "parity.index")
+    write_ivf_flat_index(index_path, vectors, centroids, assign, nprobe=1)
+    return pth, index_path
+
+
+def make_song(seconds: float, sr: int = 16000) -> np.ndarray:
+    """Synthetic 'vocal': harmonic stack with vibrato + melody steps +
+    amplitude dips (so the energy-minimum split search has real minima) +
+    a little noise."""
+    rng = np.random.default_rng(17)
+    t = np.arange(int(seconds * sr)) / sr
+    melody = 196.0 * 2 ** (
+        np.round(2 * np.sin(2 * np.pi * t / 7.0) + np.sin(2 * np.pi * t / 3.1)) / 12
+    )
+    vibrato = 2 ** (0.03 * np.sin(2 * np.pi * 5.5 * t))
+    f0 = melody * vibrato
+    phase = 2 * np.pi * np.cumsum(f0) / sr
+    x = np.zeros_like(t)
+    for h, amp in ((1, 1.0), (2, 0.5), (3, 0.3), (4, 0.2), (5, 0.1)):
+        x += amp * np.sin(h * phase)
+    # slow syllable-ish envelope with deep dips every ~9.5 s
+    env = 0.35 + 0.3 * np.sin(2 * np.pi * t / 2.3) ** 2
+    env *= 0.05 + 0.95 * np.clip(np.sin(2 * np.pi * t / 9.5) ** 2 + 0.15, 0, 1)
+    x = x * env + 0.004 * rng.standard_normal(len(t))
+    return (x / np.max(np.abs(x)) * 0.8).astype(np.float32)
+
+
+# --------------------------------------------------------------------------
+# reference run
+# --------------------------------------------------------------------------
+
+def run_reference(audio16, pth, index_path, index_rate, rms_mix_rate, protect):
+    import torch
+
+    _install_stubs()
+    sys.path.insert(0, REF_SRC)
+    import importlib
+
+    vcp = importlib.import_module("vc_infer_pipeline")
+    rmvpe_mod = importlib.import_module("rmvpe")
+    from infer_pack import models as ref_models
+
+    # deterministic synthesis noise (make_fixtures.py convention)
+    torch.randn_like_orig = torch.randn_like
+    torch.randn_like = lambda tns, **kw: torch.zeros_like(tns)
+    _orig_rand = torch.rand
+    torch.rand = lambda *a, **kw: torch.zeros_like(_orig_rand(*a, **kw))
+
+    cpt = torch.load(pth, map_location="cpu", weights_only=False)
+    net_g = ref_models.SynthesizerTrnMs768NSFsid(*cpt["config"], is_half=False)
+    del net_g.enc_q
+    net_g.load_state_dict(cpt["weight"], strict=False)
+    net_g.eval()
+
+    from transformers import HubertConfig, HubertModel
+
+    hcfg = HubertConfig(
+        hidden_size=768,
+        num_hidden_layers=12,
+        num_attention_heads=12,
+        intermediate_size=3072,
+        do_stable_layer_norm=False,
+        feat_extract_norm="group",
+    )
+    hubert = HubertModel(hcfg)
+    hubert.load_state_dict(
+        torch.load(os.path.join(ASSETS, "rvc_models", "hubert_base.pt"),
+                   weights_only=True)
+    )
+    hubert.eval()
+
+    class FairseqTwin:
+        """fairseq HubertModel API over the transformers twin — the same
+        layer-tap convention our models/hubert.py is parity-tested against
+        (reference src/vc_infer_pipeline.py:398-406)."""
+
+        def extract_features(self, source, padding_mask, output_layer):
+            with torch.no_grad():
+                outs = hubert(source, output_hidden_states=True)
+            return (outs.hidden_states[output_layer],)
+
+    class Cfg:
+        x_pad, x_query, x_center, x_max = 1, 6, 38, 41
+        is_half = False
+        device = "cpu"
+
+    vc = vcp.VC(TGT_SR, Cfg)
+    vc.model_rmvpe = rmvpe_mod.RMVPE(
+        os.path.join(ASSETS, "rvc_models", "rmvpe.pt"), is_half=False, device="cpu"
+    )
+
+    times = [0.0, 0.0, 0.0]
+    with torch.no_grad():
+        out = vc.pipeline(
+            FairseqTwin(),
+            net_g,
+            0,
+            audio16.astype(np.float64),
+            "parity_song",
+            times,
+            0,                # f0_up_key
+            "rmvpe",
+            index_path,
+            index_rate,
+            1,                # if_f0
+            3,                # filter_radius
+            TGT_SR,
+            0,                # resample_sr
+            rms_mix_rate,
+            "v2",
+            protect,
+            128,              # crepe_hop_length
+            None,
+        )
+    # keep the pre-pipeline f0 observable for stage-level comparison
+    audio_hp = vcp.signal.filtfilt(vcp.bh, vcp.ah, audio16.astype(np.float64))
+    audio_pad = np.pad(audio_hp, (vc.t_pad, vc.t_pad), mode="reflect")
+    f0_ref = vc.model_rmvpe.infer_from_audio(
+        audio_pad.astype(np.float32), thred=0.03
+    )
+    return np.asarray(out), times, f0_ref
+
+
+# --------------------------------------------------------------------------
+# our run + metrics
+# --------------------------------------------------------------------------
+
+def spectral_correlation(a: np.ndarray, b: np.ndarray, n_fft=2048, hop=512) -> float:
+    n = min(len(a), len(b))
+    a, b = a[:n].astype(np.float64), b[:n].astype(np.float64)
+    frames = (n - n_fft) // hop
+    win = np.hanning(n_fft)
+    idx = np.arange(frames)[:, None] * hop + np.arange(n_fft)[None, :]
+    A = np.abs(np.fft.rfft(a[idx] * win, axis=1))
+    B = np.abs(np.fft.rfft(b[idx] * win, axis=1))
+    A, B = A.ravel(), B.ravel()
+    A -= A.mean()
+    B -= B.mean()
+    return float(np.dot(A, B) / np.sqrt(np.dot(A, A) * np.dot(B, B)))
+
+
+def waveform_correlation(a: np.ndarray, b: np.ndarray) -> float:
+    n = min(len(a), len(b))
+    a, b = a[:n].astype(np.float64), b[:n].astype(np.float64)
+    a -= a.mean()
+    b -= b.mean()
+    return float(np.dot(a, b) / np.sqrt(np.dot(a, a) * np.dot(b, b)))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seconds", type=float, default=85.0)
+    ap.add_argument("--index-rate", type=float, default=0.5)
+    ap.add_argument("--rms-mix-rate", type=float, default=0.25)
+    ap.add_argument("--protect", type=float, default=0.33)
+    ap.add_argument("--skip-reference", action="store_true",
+                    help="reuse the reference output cached in the fixture")
+    args = ap.parse_args()
+
+    _install_stubs()
+    pth, index_path = build_assets()
+    song = make_song(args.seconds)
+    fixture_path = os.path.join(FIXTURES, "parity_full_song.npz")
+
+    if args.skip_reference and os.path.exists(fixture_path):
+        fx = np.load(fixture_path)
+        ref_out, f0_ref = fx["ref_audio"], fx["ref_f0"]
+    else:
+        print("[parity] running reference torch pipeline...")
+        ref_out, times, f0_ref = run_reference(
+            song, pth, index_path, args.index_rate, args.rms_mix_rate, args.protect
+        )
+        print(f"[parity] reference done  out={ref_out.shape}  times={times}")
+
+    print("[parity] running our pipeline...")
+    from aicovergen_tpu.io.assets import AssetStore
+    from aicovergen_tpu.pipeline.loader import build_voice_converter
+
+    store = AssetStore(ASSETS)
+    vc = build_voice_converter(store, "ParityVoice", exact_search=False)
+    ours, out_sr = vc.convert(
+        song,
+        f0_up_key=0,
+        f0_method="rmvpe",
+        index_rate=args.index_rate,
+        filter_radius=3,
+        rms_mix_rate=args.rms_mix_rate,
+        protect=args.protect,
+    )
+    assert out_sr == TGT_SR, (out_sr, TGT_SR)
+    ours = np.asarray(ours)
+    print(f"[parity] ours done  out={ours.shape}")
+
+    # stage-level: whole-track rmvpe f0
+    f0_ours = np.asarray(
+        vc.f0_estimator.compute(
+            _our_padded_hp(song), len(f0_ref), "rmvpe", 3, 128
+        )
+    )
+    n = min(len(f0_ref), len(f0_ours))
+    voiced = (f0_ref[:n] > 0) & (f0_ours[:n] > 0)
+    f0_agree = float(np.mean((f0_ref[:n] > 0) == (f0_ours[:n] > 0)))
+    f0_maxcents = (
+        float(np.max(np.abs(1200 * np.log2(f0_ours[:n][voiced] / f0_ref[:n][voiced]))))
+        if voiced.any()
+        else 0.0
+    )
+
+    a = ref_out.astype(np.float64) / 32768.0
+    b = ours.astype(np.float64) / 32768.0
+    report = {
+        "song_seconds": args.seconds,
+        "segments_multi": bool(args.seconds > 41),
+        "index_rate": args.index_rate,
+        "rms_mix_rate": args.rms_mix_rate,
+        "protect": args.protect,
+        "f0_method": "rmvpe",
+        "len_ref": int(len(a)),
+        "len_ours": int(len(b)),
+        "waveform_correlation": waveform_correlation(a, b),
+        "spectral_correlation": spectral_correlation(a, b),
+        "f0_voicing_agreement": f0_agree,
+        "f0_max_abs_cents_voiced": f0_maxcents,
+        "notes": (
+            "reference = torch VC.pipeline (vc_infer_pipeline.py:474-653) with "
+            "seeded weights in reference on-disk formats; zero synthesis noise "
+            "both sides; ivf-faithful retrieval (nprobe=1) both sides; fp32."
+        ),
+    }
+    print(json.dumps(report, indent=2))
+    with open(os.path.join(REPO, "PARITY_r02.json"), "w") as f:
+        json.dump(report, f, indent=2)
+
+    if not (args.skip_reference and os.path.exists(fixture_path)):
+        np.savez_compressed(
+            fixture_path,
+            song=song,
+            ref_audio=ref_out.astype(np.int16),
+            ref_f0=f0_ref.astype(np.float32),
+            index_rate=np.float64(args.index_rate),
+            rms_mix_rate=np.float64(args.rms_mix_rate),
+            protect=np.float64(args.protect),
+        )
+        print(f"[parity] fixture written: {fixture_path} "
+              f"({os.path.getsize(fixture_path)/1e6:.1f} MB)")
+
+
+def _our_padded_hp(song):
+    """Reproduce the reference's hpf+reflect-pad front so the f0 comparison
+    sees the same signal both sides."""
+    from scipy import signal as ss
+
+    bh, ah = ss.butter(N=5, Wn=48, btype="high", fs=16000)
+    hp = ss.filtfilt(bh, ah, song.astype(np.float64))
+    t_pad = 16000 * 1
+    return np.pad(hp, (t_pad, t_pad), mode="reflect").astype(np.float32)
+
+
+if __name__ == "__main__":
+    main()
