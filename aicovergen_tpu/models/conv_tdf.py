@@ -1,21 +1,27 @@
 """Conv-TDF (KUIELab/UVR MDX-Net) replica graph builder.
 
 The reference treats the MDX separation nets as a black box behind
-onnxruntime (reference src/mdx.py:74-77); the architecture — a TFC-TDF U-Net
-(Choi et al., "KUIELab-MDX-Net"): dense 3x3 conv blocks (TFC) with a linear
-bottleneck over the frequency axis (TDF), strided-conv down/up scaling and
-skip concats — lives only inside the shipped ``.onnx`` files.
+onnxruntime (reference src/mdx.py:74-77); the architecture — the published
+KUIELab Conv_TDF_net family (Kim & Choi, "KUIELab-MDX-Net"): a first 1x1
+conv, a transpose so frequency is the LAST axis, per-scale TFC-TDF blocks
+(l x [3x3 Conv + BN + ReLU] plus a residual frequency-bottleneck Linear
+pair with channel BatchNorms), strided-conv down / ConvTranspose up scaling
+with MULTIPLICATIVE skip connections, and a final 1x1 conv — lives only
+inside the shipped ``.onnx`` files.
 
-This module reconstructs that architecture as an ONNX wire-format graph
-(via convert/onnx_proto.write_onnx) so that
+This module reconstructs that topology as an ONNX wire-format graph (via
+convert/onnx_proto.write_onnx) node-for-node matching what
+``torch.onnx.export`` emits for the same torch modules
+(scripts/make_mdx_torch_export.py holds the torch twin and the committed
+exporter-output fixture), so that
 
-  * tests can prove the OnnxExecutor covers the full op set the real UVR
+  * tests prove the OnnxExecutor covers the full op set the real UVR
     checkpoints use (Conv/ConvTranspose/BatchNormalization/Relu/MatMul/Add/
-    Concat/Transpose — a graph the executor cannot trace fails loudly, the
+    Mul/Transpose — a graph the executor cannot trace fails loudly, the
     same way ``UVR-MDX-NET-Voc_FT.onnx`` would);
-  * bench.py can run separation at the real checkpoint dimensions
-    (model_data.json: Voc_FT dim_f 3072, dim_t 2^8, n_fft 7680) with a
-    realistic FLOPs/memory profile on synthetic weights.
+  * bench.py runs separation at the real checkpoint dimensions
+    (model_data.json: Voc_FT dim_f 3072, dim_t 2^8, n_fft 7680) with the
+    published network's FLOPs/memory profile on synthetic weights.
 """
 
 from __future__ import annotations
@@ -39,7 +45,9 @@ class ConvTDFSpec:
 
 
 def build_conv_tdf_onnx(path: str, spec: ConvTDFSpec = ConvTDFSpec(), seed: int = 0) -> None:
-    """Write a conv-TDF U-Net with random weights as an .onnx file."""
+    """Write a published-topology conv-TDF U-Net with random weights as an
+    .onnx file.  Working layout after the first conv is (B, C, T, F) — the
+    TDF MatMul acts on the trailing frequency axis."""
     rng = np.random.default_rng(seed)
     nodes = []
     init = {}
@@ -92,38 +100,27 @@ def build_conv_tdf_onnx(path: str, spec: ConvTDFSpec = ConvTDFSpec(), seed: int 
         nodes.append(("Relu", [x], [out], {}))
         return out
 
-    def tfc(x, cin, cout, n_convs):
-        """Time-frequency convolutions: n x (conv3x3 + BN + ReLU)."""
-        h = x
-        c = cin
-        for _ in range(n_convs):
-            h = relu(bn(conv(h, c, cout), cout))
-            c = cout
-        return h
-
-    def tdf(x, c, f):
-        """Time-distributed fully-connected over the frequency axis with a
-        bottleneck, residual: x + W2(relu(W1 x_f))."""
-        bf = max(f // spec.bn_factor, 4)
-        t1 = name("tr")
-        nodes.append(("Transpose", [x], [t1], {"perm": [0, 1, 3, 2]}))  # (B,C,T,F)
-        w1 = tensor("tdf_w1", (f, bf))
+    def linear(x, fin, fout):
+        """nn.Linear on the trailing axis, as torch exports it: MatMul+Add."""
+        w = tensor("tdf_w", (fin, fout))
         h = name("mm")
-        nodes.append(("MatMul", [t1, w1], [h], {}))
-        b1 = tensor("tdf_b1", (bf,), 0.0)
-        ha = name("add")
-        nodes.append(("Add", [h, b1], [ha], {}))
-        hr = relu(ha)
-        w2 = tensor("tdf_w2", (bf, f))
-        h2 = name("mm")
-        nodes.append(("MatMul", [hr, w2], [h2], {}))
-        b2 = tensor("tdf_b2", (f,), 0.0)
-        h2a = name("add")
-        nodes.append(("Add", [h2, b2], [h2a], {}))
-        t2 = name("tr")
-        nodes.append(("Transpose", [h2a], [t2], {"perm": [0, 1, 3, 2]}))  # back (B,C,F,T)
+        nodes.append(("MatMul", [x, w], [h], {}))
+        b = tensor("tdf_b", (fout,), 0.0)
+        out = name("add")
+        nodes.append(("Add", [h, b], [out], {}))
+        return out
+
+    def tfc_tdf(x, c, f, n_convs):
+        """l x (3x3 conv + BN + ReLU), then a residual frequency bottleneck:
+        x + ReLU(BN(Linear(ReLU(BN(Linear(x))))))."""
+        h = x
+        for _ in range(n_convs):
+            h = relu(bn(conv(h, c, c), c))
+        bf = max(f // spec.bn_factor, 4)
+        t = relu(bn(linear(h, f, bf), c))
+        t = relu(bn(linear(t, bf, f), c))
         out = name("res")
-        nodes.append(("Add", [x, t2], [out], {}))
+        nodes.append(("Add", [h, t], [out], {}))
         return out
 
     def down(x, cin, cout):
@@ -138,34 +135,35 @@ def build_conv_tdf_onnx(path: str, spec: ConvTDFSpec = ConvTDFSpec(), seed: int 
         )
         return relu(bn(out, cout))
 
-    # ---- graph ----
+    # ---- graph (working layout (B, C, T, F) between the transposes) ----
     g = spec.g
-    f = spec.dim_f
     x = relu(bn(conv("input", spec.in_ch, g, k=1, pad=0), g))  # first 1x1
+    t0 = name("tr")
+    nodes.append(("Transpose", [x], [t0], {"perm": [0, 1, 3, 2]}))
+    x = t0
 
     skips = []
-    c = g
+    c, f = g, spec.dim_f
     for i in range(spec.n_scales):
-        x = tfc(x, c, c, spec.tfc)
-        x = tdf(x, c, f)
-        skips.append((x, c, f))
+        x = tfc_tdf(x, c, f, spec.tfc)
+        skips.append(x)
         x = down(x, c, c + g)
         c += g
         f //= 2
 
-    x = tfc(x, c, c, spec.tfc)  # mid block
-    x = tdf(x, c, f)
+    x = tfc_tdf(x, c, f, spec.tfc)  # bottleneck block
 
     for i in reversed(range(spec.n_scales)):
-        skip, sc, sf = skips[i]
-        x = up(x, c, sc)
-        c, f = sc, sf
-        cat = name("cat")
-        nodes.append(("Concat", [x, skip], [cat], {"axis": 1}))
-        x = tfc(cat, 2 * c, c, spec.tfc)
-        x = tdf(x, c, f)
+        x = up(x, c, c - g)
+        c -= g
+        f *= 2
+        mul = name("skipmul")
+        nodes.append(("Mul", [x, skips[i]], [mul], {}))
+        x = tfc_tdf(mul, c, f, spec.tfc)
 
-    out = conv(x, c, spec.in_ch, k=1, pad=0)
+    t1 = name("tr")
+    nodes.append(("Transpose", [x], [t1], {"perm": [0, 1, 3, 2]}))
+    out = conv(t1, c, spec.in_ch, k=1, pad=0)
     nodes[-1] = (nodes[-1][0], nodes[-1][1], ["output"], nodes[-1][3])
 
     from ..convert.onnx_proto import write_onnx

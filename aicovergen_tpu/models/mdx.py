@@ -68,10 +68,17 @@ def _conv_transpose(node: OnnxNode, x, w, b=None):
     pads = list(node.attr("pads", [0] * (2 * spatial)))
     out_pads = list(node.attr("output_padding", [0] * spatial))
     group = node.attr("group", 1)
-    if group != 1:
-        raise NotImplementedError("grouped ConvTranspose")
     k = w.shape[2:]
-    w = jnp.flip(w, axis=tuple(range(2, w.ndim))).swapaxes(0, 1)
+    w = jnp.flip(w, axis=tuple(range(2, w.ndim)))
+    if group == 1:
+        w = w.swapaxes(0, 1)
+    else:
+        # onnx ConvTranspose weight is (C_in, C_out/g, kH, kW); a grouped
+        # transposed conv is a grouped dilated conv whose per-group kernels
+        # are transposed: regroup to (C_out, C_in/g, kH, kW).
+        cin, cout_g = w.shape[0], w.shape[1]
+        w = w.reshape((group, cin // group, cout_g) + k)
+        w = w.swapaxes(1, 2).reshape((group * cout_g, cin // group) + k)
     padding = [
         (k[i] - 1 - pads[i], k[i] - 1 - pads[i + spatial] + out_pads[i])
         for i in range(spatial)
@@ -81,6 +88,7 @@ def _conv_transpose(node: OnnxNode, x, w, b=None):
     y = jax.lax.conv_general_dilated(
         x, w, window_strides=(1,) * spatial, padding=padding,
         lhs_dilation=strides, dimension_numbers=dn,
+        feature_group_count=group,
     )
     if b is not None:
         y = y + b.reshape((1, -1) + (1,) * spatial)
@@ -149,6 +157,27 @@ def _slice(node: OnnxNode, inputs):
 
 
 _INT_MAX = 2**62
+
+
+def _inline_identities(graph: OnnxGraph) -> OnnxGraph:
+    """Graph pass: drop Identity nodes, rewiring consumers to the source
+    name.  torch.onnx.export routes deduplicated initializers (e.g. BN
+    running stats) through Identity, which would otherwise hide them from
+    the conv+BN fusion pass."""
+    alias: Dict[str, str] = {}
+    for node in graph.nodes:
+        if node.op_type == "Identity" and node.outputs[0] not in graph.outputs:
+            src = node.inputs[0]
+            alias[node.outputs[0]] = alias.get(src, src)
+    if not alias:
+        return graph
+    graph.nodes = [
+        n for n in graph.nodes
+        if not (n.op_type == "Identity" and n.outputs[0] in alias)
+    ]
+    for node in graph.nodes:
+        node.inputs = [alias.get(i, i) for i in node.inputs]
+    return graph
 
 
 def _fuse_conv_bn(graph: OnnxGraph) -> OnnxGraph:
@@ -221,7 +250,7 @@ class OnnxExecutor:
 
     def __init__(self, graph: OnnxGraph, fuse: bool = True):
         if fuse:
-            graph = _fuse_conv_bn(graph)
+            graph = _fuse_conv_bn(_inline_identities(graph))
         self.graph = graph
         self.initializers = {k: v for k, v in graph.initializers.items()}
         # split: large float tensors travel as jit args; small/int metadata
@@ -295,11 +324,15 @@ class OnnxExecutor:
             scale, bias, mean, var = ins[1], ins[2], ins[3], ins[4]
             eps = node.attr("epsilon", 1e-5)
             shape = (1, -1) + (1,) * (x.ndim - 2)
-            return [
-                (x - mean.reshape(shape))
-                * (scale.reshape(shape) / jnp.sqrt(var.reshape(shape) + eps))
-                + bias.reshape(shape)
-            ]
+            # fold to y = x*k + b with k,b in f32, then cast to the activation
+            # dtype: keeps rsqrt precise AND avoids numpy's ml_dtypes
+            # promotion (np bf16 + python float -> f32) leaking f32 into a
+            # bf16 graph when the BN params are trace-time numpy
+            f32 = jnp.float32
+            k = jnp.asarray(scale, f32) * jax.lax.rsqrt(jnp.asarray(var, f32) + eps)
+            b = jnp.asarray(bias, f32) - jnp.asarray(mean, f32) * k
+            dt = x.dtype
+            return [x * k.reshape(shape).astype(dt) + b.reshape(shape).astype(dt)]
         if op == "InstanceNormalization":
             eps = node.attr("epsilon", 1e-5)
             axes = tuple(range(2, x.ndim))
@@ -309,6 +342,20 @@ class OnnxExecutor:
             return [
                 (x - mean) * jax.lax.rsqrt(var + eps) * ins[1].reshape(shape)
                 + ins[2].reshape(shape)
+            ]
+        if op == "GroupNormalization":
+            # opset 18+ native form (older torch exports decompose to
+            # Reshape+InstanceNormalization+Reshape+Mul+Add, also supported)
+            eps = node.attr("epsilon", 1e-5)
+            groups = node.attr("num_groups")
+            b, c = x.shape[0], x.shape[1]
+            xg = x.reshape((b, groups, -1))
+            mean = jnp.mean(xg, axis=2, keepdims=True)
+            var = jnp.var(xg, axis=2, keepdims=True)
+            xg = (xg - mean) * jax.lax.rsqrt(var + eps)
+            shape = (1, -1) + (1,) * (x.ndim - 2)
+            return [
+                xg.reshape(x.shape) * ins[1].reshape(shape) + ins[2].reshape(shape)
             ]
         if op == "Relu":
             return [jnp.maximum(x, 0)]

@@ -56,7 +56,7 @@ def _build_assets() -> str:
 
     store = AssetStore(BENCH_ASSETS)
     tiny = os.environ.get("AICG_BENCH_MDX_SCALE") == "tiny"  # CPU smoke mode
-    stamp = os.path.join(BENCH_ASSETS, ".complete_v2_tiny" if tiny else ".complete_v2")
+    stamp = os.path.join(BENCH_ASSETS, ".complete_v3_tiny" if tiny else ".complete_v3")
     if os.path.exists(stamp):
         return BENCH_ASSETS
     shutil.rmtree(BENCH_ASSETS, ignore_errors=True)
