@@ -44,13 +44,7 @@ from .separate import separate
 SR_MDX = 44100
 
 
-def _sync(x) -> None:
-    """Force execution of a device array (honest stage timings: on the
-    remote-TPU backend block_until_ready can return before the computation
-    lands, so fetch a scalar that depends on it)."""
-    import jax.numpy as jnp
-
-    float(jnp.sum(x[..., :2]))
+from ..utils.metrics import stage_sync as _sync
 
 
 def _pad_last(x, target: int):

@@ -61,14 +61,21 @@ def add_audio_effects(
 
 
 def _reverb(x, sr: int, **kwargs):
-    """Freeverb dispatch.  AICG_PALLAS=1 selects the fused Pallas kernel
-    (ops/reverb_pallas.py — single VMEM-resident pass over all 12 delay
-    lines); it requires every delay line to exceed the 128-sample kernel
-    block (sr >= ~25 kHz).  The default stays on the blockwise-scan
-    implementation: measured on v5e the fused kernel is ~1.25x slower for
-    this workload (the serial comb->allpass chain is latency-bound, so
-    XLA's pipelined scans win) — both are bit-compatible (tested)."""
-    if os.environ.get("AICG_PALLAS", "0") == "1":
+    """Freeverb dispatch (AICG_REVERB=fft|scan|pallas, default fft).
+
+    fft — the network is LTI, so the wet path is applied exactly as one
+    frequency-domain multiply (ops/reverb.py freeverb_fft): two large FFTs
+    instead of a ~T/min(delay)-step sequential scan.  Agrees with the scan
+    path to fp32 noise (tested).
+
+    scan — the blockwise-scan reference implementation (parity baseline).
+
+    pallas — fused VMEM-resident kernel (ops/reverb_pallas.py); needs every
+    delay line > the 128-sample kernel block (sr >= ~25 kHz).  Measured ~1.25x
+    slower than the scan path on v5e (the serial comb->allpass chain is
+    latency-bound); kept for reference."""
+    mode = os.environ.get("AICG_REVERB", "fft")
+    if mode == "pallas":
         try:
             from ..ops.reverb_pallas import HAVE_PALLAS, freeverb_pallas
 
@@ -76,7 +83,11 @@ def _reverb(x, sr: int, **kwargs):
                 return freeverb_pallas(x, sr, **kwargs)
         except Exception as e:  # pragma: no cover - backend-specific
             print(f"[effects] pallas freeverb unavailable ({e}); using scan path")
-    return freeverb(x, sr, **kwargs)
+    if mode == "scan":
+        return freeverb(x, sr, **kwargs)
+    from ..ops.reverb import freeverb_fft
+
+    return freeverb_fft(x, sr, **kwargs)
 
 
 def pitch_shift_all(audio: np.ndarray, sr: int, semitones: float) -> np.ndarray:

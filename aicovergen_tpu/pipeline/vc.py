@@ -38,7 +38,7 @@ from ..ops.filters import butter_highpass, zero_phase_fft
 from ..ops.resample import resample
 from ..retrieval.knn import Retriever
 from ..utils.config import RuntimeConfig
-from ..utils.metrics import Metrics
+from ..utils.metrics import Metrics, stage_sync
 from ..utils.precision import tree_dtype
 from .f0 import WINDOW, F0Estimator, get_f0
 
@@ -342,10 +342,7 @@ class VoiceConverter:
             feats = _features_stage(
                 self.hubert_params, batch_j, valid_j, self.synth_cfg.version
             )
-            # real sync: on the remote backend block_until_ready can return
-            # before execution lands, silently shifting this stage's time
-            # into whichever later call first blocks
-            float(jnp.sum(feats[..., 0, 0].astype(jnp.float32)))
+            stage_sync(feats[..., 0])
         feats0 = feats
         if self.retriever is not None and index_rate > 0:
             with metrics.stage("vc/retrieval"):
@@ -379,7 +376,7 @@ class VoiceConverter:
         with metrics.stage("vc/assemble"):
             out_len = int(math.ceil(max(total, 1) / (self.tgt_sr * 32))) * self.tgt_sr * 32
             out = _assemble_output(audio, keep_j, out_starts_j, out_len, trim)
-            float(jnp.sum(out[:2].astype(jnp.float32)))  # honest stage timing
+            stage_sync(out)
         return out, total
 
     def convert(

@@ -96,3 +96,24 @@ def profile_trace(label: str = "aicg"):
 
     with jax.profiler.trace(os.path.join(profile_dir, label)):
         yield
+
+
+def stage_sync(x) -> None:
+    """Optionally force execution of a device array for honest per-stage
+    timings (on the remote-TPU backend ``block_until_ready`` can return
+    before the computation lands, so this fetches a scalar that depends on
+    the array).
+
+    Gated by ``AICG_STAGE_SYNC`` (default off): in production the host keeps
+    dispatching later stages while the device is still executing earlier
+    ones — each sync would serialize that overlap and pay a host<->device
+    round trip.  With syncs off, per-stage metrics record *dispatch* time
+    only (most device time lands in whichever stage first blocks on a
+    fetch); end-to-end totals stay honest because the pipeline's final host
+    fetch blocks on everything.  Set ``AICG_STAGE_SYNC=1`` when reading
+    per-stage breakdowns."""
+    if os.environ.get("AICG_STAGE_SYNC", "0") != "1":
+        return
+    import jax.numpy as jnp
+
+    float(jnp.sum(x[..., :2].astype(jnp.float32)))

@@ -17,7 +17,9 @@ RTF=2.0 as the vs_baseline denominator.  (The BASELINE.md north star is a
 
 Output: ONE JSON line {"metric", "value", "unit", "vs_baseline", "stages"}.
 Env knobs: AICG_BENCH=cover|vc (default cover), AICG_BENCH_REPS,
-AICG_BENCH_SECONDS, AICG_TPU_BF16=0 for fp32, AICG_PROFILE=<dir> for traces.
+AICG_BENCH_SECONDS, AICG_TPU_BF16=0 for fp32, AICG_PROFILE=<dir> for traces,
+AICG_STAGE_SYNC=1 for honest per-stage breakdowns (serializes the stages'
+dispatch/compute overlap, so the headline wall time rises slightly).
 """
 
 from __future__ import annotations

@@ -136,3 +136,25 @@ def test_pallas_freeverb_matches_scan():
     ref1 = np.asarray(freeverb(jnp.asarray(mono), sr, 0.5, 0.5, 0.33, 0.4))
     out1 = np.asarray(freeverb_pallas(jnp.asarray(mono), sr, 0.5, 0.5, 0.33, 0.4))
     np.testing.assert_allclose(out1, ref1, atol=1e-5)
+
+
+def test_fft_freeverb_matches_scan():
+    """The LTI frequency-domain path (freeverb_fft) must agree with the
+    blockwise-scan implementation to fp32 noise across parameter extremes."""
+    from aicovergen_tpu.ops.reverb import freeverb_fft
+
+    rng = np.random.default_rng(5)
+    for sr, T, kw in [
+        (44100, 30000, dict(room_size=0.15, damping=0.7, wet_level=0.2, dry_level=0.8)),
+        (40960, 25000, dict(room_size=0.95, damping=0.05, wet_level=0.6, dry_level=0.2)),
+        (16000, 16000, dict(width=0.3)),
+    ]:
+        x = jnp.asarray(rng.standard_normal((2, T)).astype(np.float32) * 0.3)
+        a = np.asarray(freeverb(x, sr, **kw))
+        b = np.asarray(freeverb_fft(x, sr, **kw))
+        err = np.max(np.abs(a - b)) / (np.max(np.abs(a)) + 1e-12)
+        assert err < 1e-5, (sr, T, kw, err)
+    mono = jnp.asarray(rng.standard_normal(12000).astype(np.float32))
+    a = np.asarray(freeverb(mono, 44100))
+    b = np.asarray(freeverb_fft(mono, 44100))
+    assert np.max(np.abs(a - b)) / np.max(np.abs(a)) < 1e-5
