@@ -177,12 +177,25 @@ def load_audio(path: str, sr: Optional[int] = None, mono: bool = False) -> Tuple
 
 
 def save_audio(path: str, audio: np.ndarray, sr: int, output_format: str = "wav") -> str:
-    """Encode the final mix.  WAV natively; mp3 via ffmpeg when present,
-    otherwise falls back to WAV with a warning (zero-egress environments)."""
-    if output_format == "wav" or not have_ffmpeg():
-        if output_format != "wav":
+    """Encode the final mix.  WAV natively; anything else via ffmpeg.
+
+    Contract matches the reference (src/main.py:229-233, pydub.export): a
+    non-WAV format without ffmpeg is an error — the user asked for mp3 and
+    must not silently receive a mislabeled or differently-named file.
+    ``AICG_OUTPUT_FALLBACK=wav`` opts in to a WAV downgrade (renamed .wav,
+    loudly logged) for zero-dependency sandboxes like the bench harness."""
+    if output_format != "wav" and not have_ffmpeg():
+        if os.environ.get("AICG_OUTPUT_FALLBACK") == "wav":
             path = os.path.splitext(path)[0] + ".wav"
             print(f"[!] ffmpeg unavailable — writing WAV instead: {path}")
+            output_format = "wav"
+        else:
+            raise RuntimeError(
+                f"cannot encode {output_format!r}: ffmpeg is not installed. "
+                "Install ffmpeg, pass output_format='wav', or set "
+                "AICG_OUTPUT_FALLBACK=wav to accept a WAV downgrade."
+            )
+    if output_format == "wav":
         write_wav(path, audio, sr)
         return path
     tmp = os.path.splitext(path)[0] + "_tmp.wav"

@@ -206,32 +206,51 @@ def _build_chunk_runner(model_fn, params, batch_size, shard, compute_dtype):
         y = spec_unpack(out, params.n_fft, params.hop, window, params.chunk_size)
         return y.astype(transfer_dtype)
 
-    def run_batch(x):
+    # Denoise — 0.5 * (model(x) - model(-x)), reference src/mdx.py:261-263.
+    # The STFT and iSTFT are linear, so the +/-x pair shares ONE spectrogram:
+    # negate it for the second net pass and combine IN THE SPECTRAL DOMAIN
+    # before a single iSTFT — half the FFT work of transforming both
+    # waveforms.  The net still sees a (2*rows, ...) batch = the same MXU
+    # shapes as the plain program when rows = batch_size // 2.
+    def _denoise_body(call, x):
+        x = x.astype(jnp.float32)
+        spec = spec_pack(x, params.n_fft, params.hop, window, params.dim_f)
+        out = net(call, jnp.concatenate([spec, -spec], axis=0))
+        rows = x.shape[0]
+        o = 0.5 * (out[:rows] - out[rows:])
+        y = spec_unpack(o, params.n_fft, params.hop, window, params.chunk_size)
+        return y.astype(transfer_dtype)
+
+    @jax.jit
+    def run_batch_dn_w(w, x: jnp.ndarray) -> jnp.ndarray:
+        return _denoise_body(lambda s: model_fn.apply(w, s), x)
+
+    @jax.jit
+    def run_batch_dn_plain(x: jnp.ndarray) -> jnp.ndarray:
+        return _denoise_body(model_fn, x)
+
+    def run_batch(x, denoise=False):
         if weights is not None:
-            return run_batch_w(weights, x)
-        return run_batch_plain(x)
+            return run_batch_dn_w(weights, x) if denoise else run_batch_w(weights, x)
+        return run_batch_dn_plain(x) if denoise else run_batch_plain(x)
 
     def run(chunks, denoise: bool = False):
         """chunks: (C, 2, chunk) numpy (host path, f16 over the wire) or jnp
         (device-resident path: no boundary crossing at all).  Returns the
-        same kind it was given.
-
-        Denoise — 0.5 * (model(x) - model(-x)), reference src/mdx.py:261-263 —
-        interleaves x/-x rows into one stream so every dispatch uses the SAME
-        (batch_size, ...) program as the plain path (one compiled executable
-        per model instead of two, and 8-row padding granularity instead of
-        16: a 25% compute cut on chunk counts like the dereverb stage's)."""
+        same kind it was given."""
         on_device = isinstance(chunks, jnp.ndarray)
         xnp = jnp if on_device else np
         n = chunks.shape[0]
+        stream = chunks
+        # denoise dispatches `group` chunks whose net batch is 2*group rows —
+        # the same row count per executable as the plain path (sharded runs
+        # keep group = batch_size so the doubled net batch still divides the
+        # data axis evenly)
         if denoise:
-            # (C, ...) -> (2C, ...) rows [x0, -x0, x1, -x1, ...]
-            stream = xnp.stack([chunks, -chunks], axis=1).reshape(
-                (2 * n,) + chunks.shape[1:]
-            )
+            group = batch_size if shard is not None else max(batch_size // 2, 1)
         else:
-            stream = chunks
-        pad_n = (-stream.shape[0]) % batch_size
+            group = batch_size
+        pad_n = (-n) % group
         if pad_n:
             stream = xnp.concatenate([stream, xnp.zeros_like(stream[:pad_n])], axis=0)
         # dispatch every batch first (jax async dispatch overlaps the
@@ -239,16 +258,12 @@ def _build_chunk_runner(model_fn, params, batch_size, shard, compute_dtype):
         pending = []
         if not on_device:
             stream = stream.astype(transfer_dtype)
-        for i in range(0, stream.shape[0], batch_size):
-            xb = jnp.asarray(stream[i : i + batch_size])
+        for i in range(0, stream.shape[0], group):
+            xb = jnp.asarray(stream[i : i + group])
             if shard is not None:
                 xb = shard(xb)
-            pending.append(run_batch(xb))
-        out = jnp.concatenate(pending, axis=0)
-        if denoise:
-            out = 0.5 * (out[0 : 2 * n : 2] - out[1 : 2 * n : 2])
-        else:
-            out = out[:n]
+            pending.append(run_batch(xb, denoise=denoise))
+        out = jnp.concatenate(pending, axis=0)[:n]
         if on_device:
             return out.astype(jnp.float32)
         return np.asarray(out, dtype=np.float32)

@@ -24,14 +24,47 @@ def apply_platform_env() -> None:
     enable_compilation_cache()
 
 
+def _cpu_fingerprint() -> str:
+    """Hash of this host's CPU feature flags.  XLA:CPU AOT cache entries are
+    compiled for the build host's exact machine features and SIGILL when
+    loaded on a host without them — so CPU cache entries must never be
+    shared across machines (the TPU backend compiles remotely and is safe)."""
+    import hashlib
+
+    try:
+        with open("/proc/cpuinfo") as f:
+            for line in f:
+                if line.startswith("flags"):
+                    return hashlib.blake2b(line.encode(), digest_size=4).hexdigest()
+    except OSError:
+        pass
+    import platform as _platform
+
+    return hashlib.blake2b(_platform.processor().encode(), digest_size=4).hexdigest()
+
+
 def enable_compilation_cache() -> None:
     """Persistent XLA compilation cache: the deep conv nets take minutes to
-    compile on remote-compile TPU backends; cache so it's paid once."""
+    compile on remote-compile TPU backends; cache so it's paid once.
+
+    The cache is partitioned per backend — and for CPU per host fingerprint
+    (see _cpu_fingerprint) — under one base directory."""
     import jax
 
-    cache_dir = os.environ.get(
+    base = os.environ.get(
         "AICG_COMPILE_CACHE", os.path.expanduser("~/.cache/aicg_jax_cache")
     )
+    # the LIVE config wins: entry points like dryrun_multichip force the CPU
+    # backend via jax.config even when the session env pins a TPU platform
+    want = (
+        (jax.config.jax_platforms or "")
+        or os.environ.get("AICG_PLATFORM")
+        or os.environ.get("JAX_PLATFORMS")
+        or ""
+    ).split(",")[0]
+    # CPU entries are host-specific; TPU/remote backends keep the shared base
+    # directory (their entries are portable and already warm across rounds)
+    cache_dir = os.path.join(base, f"cpu-{_cpu_fingerprint()}") if want == "cpu" else base
     try:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)

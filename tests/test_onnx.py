@@ -308,3 +308,19 @@ def test_torch_exported_tfc_tdf_matches_golden():
             assert produced_by.get(n.inputs[0]) not in ("Conv", "ConvTranspose"), (
                 n.name, produced_by.get(n.inputs[0])
             )
+
+
+def test_separate_denoise_matches_plain_for_linear_model():
+    """denoise = 0.5*(f(x) - f(-x)) (reference src/mdx.py:261-263); for a
+    LINEAR model this equals f(x), so the spectral-domain denoise program
+    (shared STFT, combine-before-iSTFT) must reproduce the plain path."""
+    from aicovergen_tpu.pipeline.separate import MDXParams, separate
+
+    params = MDXParams(dim_f=128, dim_t=32, n_fft=512, hop=256, compensation=1.0)
+    rng = np.random.default_rng(11)
+    wave = rng.standard_normal((2, params.chunk_size * 2 + 777)).astype(np.float32) * 0.3
+    model_fn = lambda spec: spec * 0.37
+
+    p_plain, _ = separate(wave, model_fn, params, denoise=False, batch_size=4)
+    p_dn, _ = separate(wave, model_fn, params, denoise=True, batch_size=4)
+    np.testing.assert_allclose(p_dn, p_plain, atol=2e-5)
