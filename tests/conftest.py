@@ -33,6 +33,13 @@ if os.environ.get("AICG_TEST_TPU", "0") != "1":
     jax.config.update("jax_num_cpu_devices", 8)
 jax.config.update("jax_enable_x64", True)
 
+# persistent compile cache (partitioned per CPU fingerprint, see
+# utils/platform.py): the slow tier's GAN train-step compiles are minutes —
+# pay them once per host, not once per run
+from aicovergen_tpu.utils.platform import enable_compilation_cache  # noqa: E402
+
+enable_compilation_cache()
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
