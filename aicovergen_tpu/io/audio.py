@@ -176,6 +176,22 @@ def load_audio(path: str, sr: Optional[int] = None, mono: bool = False) -> Tuple
     return x, file_sr
 
 
+def check_encodable(output_format: str) -> bool:
+    """True if `output_format` can be produced here; raises if it can't and
+    the WAV-downgrade escape hatch is off.  Call it before expensive compute:
+    the precondition is knowable at t=0 (pipeline entry), not only at the
+    final save_audio."""
+    if output_format == "wav" or have_ffmpeg():
+        return True
+    if os.environ.get("AICG_OUTPUT_FALLBACK") == "wav":
+        return False
+    raise RuntimeError(
+        f"cannot encode {output_format!r}: ffmpeg is not installed. "
+        "Install ffmpeg, pass output_format='wav', or set "
+        "AICG_OUTPUT_FALLBACK=wav to accept a WAV downgrade."
+    )
+
+
 def save_audio(path: str, audio: np.ndarray, sr: int, output_format: str = "wav") -> str:
     """Encode the final mix.  WAV natively; anything else via ffmpeg.
 
@@ -184,17 +200,10 @@ def save_audio(path: str, audio: np.ndarray, sr: int, output_format: str = "wav"
     must not silently receive a mislabeled or differently-named file.
     ``AICG_OUTPUT_FALLBACK=wav`` opts in to a WAV downgrade (renamed .wav,
     loudly logged) for zero-dependency sandboxes like the bench harness."""
-    if output_format != "wav" and not have_ffmpeg():
-        if os.environ.get("AICG_OUTPUT_FALLBACK") == "wav":
-            path = os.path.splitext(path)[0] + ".wav"
-            print(f"[!] ffmpeg unavailable — writing WAV instead: {path}")
-            output_format = "wav"
-        else:
-            raise RuntimeError(
-                f"cannot encode {output_format!r}: ffmpeg is not installed. "
-                "Install ffmpeg, pass output_format='wav', or set "
-                "AICG_OUTPUT_FALLBACK=wav to accept a WAV downgrade."
-            )
+    if not check_encodable(output_format):
+        path = os.path.splitext(path)[0] + ".wav"
+        print(f"[!] ffmpeg unavailable — writing WAV instead: {path}")
+        output_format = "wav"
     if output_format == "wav":
         write_wav(path, audio, sr)
         return path

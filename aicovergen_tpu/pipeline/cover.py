@@ -25,7 +25,7 @@ from urllib.parse import parse_qs, urlparse
 import numpy as np
 
 from ..io.assets import AssetStore, mdx_params_for
-from ..io.audio import load_audio, save_audio, to_stereo, write_wav
+from ..io.audio import check_encodable, load_audio, save_audio, to_stereo, write_wav
 from ..ops.resample import resample_poly_np
 from ..utils.config import RuntimeConfig, default_config
 from ..utils.hashing import file_hash_blake2b
@@ -303,6 +303,9 @@ class CoverPipeline:
         metrics = metrics or Metrics()
         if not song_input or not voice_model:
             raise ValueError("song input and voice model are required")
+        # the encode precondition is knowable at t=0 — fail before minutes of
+        # separation/VC compute, not at the final save_audio call
+        check_encodable(output_format)
         display_progress("[~] Starting AI Cover Generation Pipeline...", 0.0, progress)
 
         # --- input typing & song id (main.py:251-267)

@@ -81,8 +81,12 @@ def _reverb(x, sr: int, **kwargs):
 
             if HAVE_PALLAS and sr >= 25000:
                 return freeverb_pallas(x, sr, **kwargs)
+            print(
+                "[effects] pallas freeverb needs Pallas support and sr >= "
+                f"25 kHz (have pallas={HAVE_PALLAS}, sr={sr}); using fft path"
+            )
         except Exception as e:  # pragma: no cover - backend-specific
-            print(f"[effects] pallas freeverb unavailable ({e}); using scan path")
+            print(f"[effects] pallas freeverb unavailable ({e}); using fft path")
     if mode == "scan":
         return freeverb(x, sr, **kwargs)
     from ..ops.reverb import freeverb_fft

@@ -252,7 +252,11 @@ def _build_chunk_runner(model_fn, params, batch_size, shard, compute_dtype):
             group = batch_size
         pad_n = (-n) % group
         if pad_n:
-            stream = xnp.concatenate([stream, xnp.zeros_like(stream[:pad_n])], axis=0)
+            # NOT zeros_like(stream[:pad_n]) — that caps the filler at n rows
+            # and under-pads whenever pad_n > n (short songs), breaking the
+            # one-program-shape contract / sharded divisibility
+            pad = xnp.zeros((pad_n,) + stream.shape[1:], dtype=stream.dtype)
+            stream = xnp.concatenate([stream, pad], axis=0)
         # dispatch every batch first (jax async dispatch overlaps the
         # host<->device transfers and compute across batches), then gather
         pending = []

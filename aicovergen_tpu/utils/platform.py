@@ -24,6 +24,22 @@ def apply_platform_env() -> None:
     enable_compilation_cache()
 
 
+def raise_cpu_collective_timeouts() -> None:
+    """N fake CPU devices time-share this host's core(s); XLA:CPU's collective
+    rendezvous hard-aborts the process after 40 s by default — raise both
+    timeouts so a slow box degrades gracefully instead.  Must run before the
+    backend initializes.  Each flag is added independently only if the user
+    hasn't already pinned it."""
+    flags = os.environ.get("XLA_FLAGS", "")
+    for flag, value in (
+        ("--xla_cpu_collective_timeout_seconds", 600),
+        ("--xla_cpu_collective_call_terminate_timeout_seconds", 1800),
+    ):
+        if flag not in flags:
+            flags = f"{flags} {flag}={value}".strip()
+    os.environ["XLA_FLAGS"] = flags
+
+
 def _cpu_fingerprint() -> str:
     """Hash of this host's CPU feature flags.  XLA:CPU AOT cache entries are
     compiled for the build host's exact machine features and SIGILL when
@@ -63,8 +79,13 @@ def enable_compilation_cache() -> None:
         or ""
     ).split(",")[0]
     # CPU entries are host-specific; TPU/remote backends keep the shared base
-    # directory (their entries are portable and already warm across rounds)
-    cache_dir = os.path.join(base, f"cpu-{_cpu_fingerprint()}") if want == "cpu" else base
+    # directory (their entries are portable and already warm across rounds).
+    # An UNPINNED platform ("") almost always resolves to the CPU backend, so
+    # treat it as CPU — writing feature-specific AOT entries into the shared
+    # base is the SIGILL hazard this partition exists to prevent.
+    cache_dir = base if want not in ("", "cpu") else os.path.join(
+        base, f"cpu-{_cpu_fingerprint()}"
+    )
     try:
         os.makedirs(cache_dir, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)

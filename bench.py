@@ -477,8 +477,10 @@ def main() -> int:
             seconds,
             n_jobs=int(os.environ.get("AICG_BENCH_JOBS", 4)),
             workers=tuple(
-                int(w) for w in os.environ.get("AICG_BENCH_WORKERS", "2").split(",")
-            ),
+                int(w)
+                for w in os.environ.get("AICG_BENCH_WORKERS", "2").split(",")
+                if w.strip()
+            ) or (2,),
         )
     elif mode == "vc_full":
         seconds = float(os.environ.get("AICG_BENCH_SECONDS", 30))

@@ -47,24 +47,29 @@ REF_SRC = "/root/reference/src"
 ASSETS = os.path.join(REPO, ".parity_assets")
 FIXTURES = os.path.join(REPO, "tests", "fixtures")
 
-# our pipeline on CPU, fp32, zero synthesis noise, 5G-tier segmentation
-os.environ["JAX_PLATFORMS"] = "cpu"
-os.environ["AICG_PLATFORM"] = "cpu"
-os.environ["AICG_TPU_BF16"] = "0"
-os.environ["AICG_ZERO_NOISE"] = "1"
-os.environ["AICG_X_PAD"] = "1"
-os.environ["AICG_X_QUERY"] = "6"
-os.environ["AICG_X_CENTER"] = "38"
-os.environ["AICG_X_MAX"] = "41"
-
 sys.path.insert(0, REPO)
 
-# sitecustomize imports jax before this script runs, so the env var alone is
-# ignored — force the CPU backend explicitly (never run parity on the shared
-# remote TPU)
-import jax  # noqa: E402
 
-jax.config.update("jax_platforms", "cpu")
+def force_cpu_parity_env() -> None:
+    """Pin our pipeline to CPU, fp32, zero synthesis noise, 5G-tier
+    segmentation.  Called from main() only — tests import this module for
+    its helpers (tests/test_full_parity.py) and must not have their process
+    env or live jax config mutated by the import."""
+    os.environ["JAX_PLATFORMS"] = "cpu"
+    os.environ["AICG_PLATFORM"] = "cpu"
+    os.environ["AICG_TPU_BF16"] = "0"
+    os.environ["AICG_ZERO_NOISE"] = "1"
+    os.environ["AICG_X_PAD"] = "1"
+    os.environ["AICG_X_QUERY"] = "6"
+    os.environ["AICG_X_CENTER"] = "38"
+    os.environ["AICG_X_MAX"] = "41"
+
+    # sitecustomize imports jax before this script runs, so the env var alone
+    # is ignored — force the CPU backend explicitly (never run parity on the
+    # shared remote TPU)
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
 
 
 # --------------------------------------------------------------------------
@@ -380,6 +385,7 @@ def main():
                     help="reuse the reference output cached in the fixture")
     args = ap.parse_args()
 
+    force_cpu_parity_env()
     _install_stubs()
     pth, index_path = build_assets()
     song = make_song(args.seconds)

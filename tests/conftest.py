@@ -14,14 +14,11 @@ if os.environ.get("AICG_TEST_TPU", "0") != "1":
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     flags = (flags + " --xla_force_host_platform_device_count=8").strip()
-if "xla_cpu_collective" not in flags:
-    # 8 fake devices time-share this host's core(s): XLA:CPU's collective
-    # rendezvous hard-aborts after 40 s by default — degrade gracefully
-    flags = (
-        flags + " --xla_cpu_collective_timeout_seconds=600"
-        " --xla_cpu_collective_call_terminate_timeout_seconds=1800"
-    ).strip()
 os.environ["XLA_FLAGS"] = flags
+
+from aicovergen_tpu.utils.platform import raise_cpu_collective_timeouts  # noqa: E402
+
+raise_cpu_collective_timeouts()
 os.environ.setdefault("JAX_ENABLE_X64", "1")
 
 import jax  # noqa: E402

@@ -208,6 +208,38 @@ def test_separate_device_path_matches_host_path(tmp_path):
     np.testing.assert_allclose(np.asarray(c_dev), c_host, atol=1e-5)
 
 
+def test_separate_pads_short_songs_to_full_batches():
+    """Regression: with fewer chunks than the batch group (short songs),
+    zeros_like(stream[:pad_n]) could only supply n filler rows, so the
+    dispatched batch was smaller than `group` — a second program shape
+    unsharded, a NamedSharding divisibility crash sharded."""
+    from aicovergen_tpu.parallel.mesh import make_chunk_sharder, make_mesh
+    from aicovergen_tpu.pipeline.separate import MDXParams, separate
+
+    params = MDXParams(dim_f=128, dim_t=32, n_fft=512, hop=256, compensation=1.02)
+    rng = np.random.default_rng(11)
+    # one chunk only: n=1 while denoise group = batch_size//2 = 4 (pad_n=3>n)
+    wave = rng.standard_normal((2, params.chunk_size // 2)).astype(np.float32) * 0.3
+
+    seen_rows = []
+
+    def model_fn(spec):
+        seen_rows.append(int(spec.shape[0]))
+        return spec * 0.5
+
+    primary, _ = separate(wave, model_fn, params, denoise=True, batch_size=8)
+    assert primary.shape == wave.shape
+    # denoise nets 2 rows (+x/-x) per chunk: every dispatched batch must be
+    # the full doubled group — one program shape, no short remainder batch
+    assert set(seen_rows) == {8}, seen_rows
+
+    # sharded: 1 chunk across an 8-device data mesh must pad to 8, not crash
+    mesh = make_mesh(8)
+    shard = make_chunk_sharder(mesh)
+    p_sh, _ = separate(wave, model_fn, params, denoise=True, batch_size=8, shard=shard)
+    np.testing.assert_allclose(np.asarray(p_sh), primary, atol=1e-5)
+
+
 @pytest.mark.slow
 def test_real_uvr_checkpoints_trace_if_present():
     """Gated on the real UVR checkpoints being downloaded (zero-egress CI
