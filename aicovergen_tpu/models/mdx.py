@@ -43,7 +43,17 @@ def _conv(node: OnnxNode, x, w, b=None):
     if isinstance(auto_pad, bytes):
         auto_pad = auto_pad.decode()
     if auto_pad in ("SAME_UPPER", "SAME_LOWER"):
-        padding = "SAME"
+        # explicit per-dim pads: lax's "SAME" is SAME_UPPER only — for odd
+        # total padding SAME_LOWER puts the extra sample at the *beginning*
+        padding = []
+        for i in range(spatial):
+            eff_k = (w.shape[2 + i] - 1) * dilations[i] + 1
+            out_i = -(-x.shape[2 + i] // strides[i])
+            total = max((out_i - 1) * strides[i] + eff_k - x.shape[2 + i], 0)
+            lo = total // 2 if auto_pad == "SAME_UPPER" else total - total // 2
+            padding.append((lo, total - lo))
+    elif auto_pad == "VALID":
+        padding = [(0, 0)] * spatial
     else:
         padding = _pads_to_jax(list(pads), spatial)
     dn_in = "NC" + "HWD"[:spatial]
@@ -68,6 +78,17 @@ def _conv_transpose(node: OnnxNode, x, w, b=None):
     pads = list(node.attr("pads", [0] * (2 * spatial)))
     out_pads = list(node.attr("output_padding", [0] * spatial))
     group = node.attr("group", 1)
+    # attributes this lowering does not model must be loud, not silently
+    # dropped (matching the catch-all NotImplementedError policy elsewhere)
+    dilations = node.attr("dilations", None)
+    if dilations is not None and any(d != 1 for d in dilations):
+        raise NotImplementedError(f"ConvTranspose dilations={list(dilations)}")
+    if node.attr("output_shape", None) is not None:
+        raise NotImplementedError("ConvTranspose output_shape attribute")
+    auto_pad = node.attr("auto_pad", b"NOTSET")
+    auto_pad = auto_pad.decode() if isinstance(auto_pad, bytes) else auto_pad
+    if auto_pad != "NOTSET":
+        raise NotImplementedError(f"ConvTranspose auto_pad={auto_pad}")
     k = w.shape[2:]
     w = jnp.flip(w, axis=tuple(range(2, w.ndim)))
     if group == 1:
@@ -118,6 +139,9 @@ def _resize(node: OnnxNode, inputs):
     mode = node.attr("mode", b"nearest")
     if isinstance(mode, bytes):
         mode = mode.decode()
+    ctm = node.attr("coordinate_transformation_mode", b"half_pixel")
+    if isinstance(ctm, bytes):
+        ctm = ctm.decode()
     scales = None
     sizes = None
     if len(inputs) >= 3 and inputs[2] is not None and np.size(inputs[2]):
@@ -125,7 +149,21 @@ def _resize(node: OnnxNode, inputs):
     if len(inputs) >= 4 and inputs[3] is not None and np.size(inputs[3]):
         sizes = np.asarray(inputs[3]).astype(int)
     if sizes is None:
-        sizes = [int(round(s * d)) for s, d in zip(scales, x.shape)]
+        # onnx spec: output size = floor(input * scale), NOT round
+        sizes = [int(np.floor(s * d)) for s, d in zip(scales, x.shape)]
+    if mode == "nearest":
+        # every common convention (asymmetric+floor — torch's export —,
+        # half_pixel with any rounding) selects src = floor(dst/s) when the
+        # scale is a whole upsampling factor, which is what jax.image.resize
+        # computes; reject the cases where conventions genuinely diverge
+        integer_scale = all(o % i == 0 for i, o in zip(x.shape, sizes))
+        if ctm == "align_corners" or not integer_scale:
+            raise NotImplementedError(
+                f"Resize nearest with ctm={ctm}, sizes={sizes} vs {x.shape}"
+            )
+    elif ctm not in ("half_pixel", "pytorch_half_pixel"):
+        # jax.image.resize linear/cubic sample at half-pixel centers
+        raise NotImplementedError(f"Resize {mode} with ctm={ctm}")
     method = {"nearest": "nearest", "linear": "linear", "cubic": "cubic"}[mode]
     return jax.image.resize(x, tuple(sizes), method=method)
 
@@ -154,9 +192,6 @@ def _slice(node: OnnxNode, inputs):
         en = min(en, dim) if en >= 0 else en
         slices[ax] = slice(int(st), int(en), int(sp))
     return x[tuple(slices)]
-
-
-_INT_MAX = 2**62
 
 
 def _inline_identities(graph: OnnxGraph) -> OnnxGraph:
@@ -226,8 +261,13 @@ def _fuse_conv_bn(graph: OnnxGraph) -> OnnxGraph:
             conv_p, bn_p, eps=node.attr("epsilon", 1e-5),
             transpose=src.op_type == "ConvTranspose",
         )
-        new_w = wname + "__bnfold"
-        new_b = wname + "__bnfold_bias"
+        # unique per BN node: torch.onnx.export dedups equal initializers, so
+        # two convs can share one weight name — keying the fold on the weight
+        # alone would let the second fusion overwrite the first conv's folded
+        # tensors with this BN's stats
+        uniq = node.outputs[0]
+        new_w = f"{wname}__bnfold__{uniq}"
+        new_b = f"{wname}__bnfold_bias__{uniq}"
         inits[new_w] = folded["weight"]
         inits[new_b] = folded["bias"]
         src.inputs = [src.inputs[0], new_w, new_b]
@@ -276,9 +316,11 @@ class OnnxExecutor:
             return v.astype(np_dtype) if np.issubdtype(v.dtype, np.floating) else v
 
         # cast on HOST so the device upload ships the narrow dtype (half the
-        # bytes through a remote-TPU tunnel), not f32-then-cast-on-device
-        self._static = {k: c(v) for k, v in self._static.items()}
-        self.weights = {k: c(v) for k, v in self.weights.items()}
+        # bytes through a remote-TPU tunnel), not f32-then-cast-on-device.
+        # Always cast FROM the pristine initializers: recasting the previous
+        # cast (bf16 -> f32) would keep the truncated mantissas
+        self._static = {k: c(self.initializers[k]) for k in self._static}
+        self.weights = {k: c(self.initializers[k]) for k in self.weights}
         return self.weights
 
     def apply(self, weights: Dict[str, object], *args):
@@ -305,7 +347,21 @@ class OnnxExecutor:
     def _execute(self, env: Dict[str, object]):
         graph = self.graph
         for node in graph.nodes:
-            ins = [env.get(n) if n else None for n in node.inputs]
+            # "" marks an omitted optional input (onnx convention) -> None;
+            # a NAMED tensor that is missing must raise, not silently become
+            # None (Conv/Gemm would read that as "no bias" and compute wrong)
+            ins = []
+            for n in node.inputs:
+                if not n:
+                    ins.append(None)
+                elif n in env:
+                    ins.append(env[n])
+                else:
+                    raise KeyError(
+                        f"tensor {n!r} required by {node.op_type} "
+                        f"{node.outputs[:1]} is not an initializer, feed, or "
+                        "produced output"
+                    )
             outs = self._run_node(node, ins)
             for name, val in zip(node.outputs, outs):
                 env[name] = val

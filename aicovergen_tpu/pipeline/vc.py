@@ -482,11 +482,13 @@ class VoiceConverter:
 
         with metrics.stage("vc/post"):
             if rms_mix_rate != 1:
-                src_b = jnp.pad(audio_trim, (0, (-n_true) % (SR * 32)))
                 if device_out:
                     out_b = audio_opt  # already padded to the 32 s class
                 else:
                     out_b, n_out = _pad_bucket_any(audio_opt, self.tgt_sr * 32)
+                src_b = _align_rms_source(
+                    audio_trim, n_true, out_b.shape[-1], self.tgt_sr
+                )
                 audio_opt = mix_rms_envelope(
                     src_b, SR, jnp.asarray(out_b), self.tgt_sr, rms_mix_rate
                 )
@@ -494,6 +496,7 @@ class VoiceConverter:
                     audio_opt = np.asarray(audio_opt[:n_out])
             out_sr = self.tgt_sr
             if resample_sr >= SR and self.tgt_sr != resample_sr:
+                out_sr = resample_sr
                 if device_out:
                     out_b = audio_opt
                 else:
@@ -517,6 +520,24 @@ class VoiceConverter:
             if audio_max > 1:
                 max_int16 /= audio_max
             return (audio_opt * max_int16).astype(np.int16), out_sr
+
+
+def _align_rms_source(audio_trim, n_true: int, out_b_len: int, tgt_sr: int):
+    """Pad-or-slice the 16 kHz source so its padded seconds equal the
+    converted track's padded seconds before mix_rms_envelope.
+
+    The envelope mix stretches the source rms track onto the converted grid
+    by *proportion of padded length*, so both must span the same seconds.
+    The converted track is intrinsically a hair shorter than the source
+    (per-segment frame trims), so near a 32 s class boundary the two can
+    land in different classes — stretching the source envelope (incl. its
+    zero pad) onto the shorter grid would time-compress the gain track and
+    near-silence the tail (reference change_rms operates on true lengths,
+    vc_infer_pipeline.py:529-541)."""
+    src_len = (out_b_len // (tgt_sr * 32)) * SR * 32
+    if n_true >= src_len:
+        return audio_trim[:src_len]
+    return jnp.pad(audio_trim, (0, src_len - n_true))
 
 
 def _pad_bucket_any(x, bucket: int):

@@ -208,6 +208,120 @@ def test_separate_device_path_matches_host_path(tmp_path):
     np.testing.assert_allclose(np.asarray(c_dev), c_host, atol=1e-5)
 
 
+def _attr_f(name, v):
+    from aicovergen_tpu.convert.onnx_proto import ATTR_FLOAT, OnnxAttr
+
+    return OnnxAttr(name=name, type=ATTR_FLOAT, f=v)
+
+
+def test_bn_fold_unique_names_for_shared_conv_weights():
+    """Regression: torch.onnx.export dedups equal initializers, so two convs
+    can reference ONE weight name; the conv+BN fusion must key its folded
+    tensors per BN node, not per weight name — a shared key let the second
+    fusion overwrite the first conv's folded stats."""
+    from aicovergen_tpu.convert.onnx_proto import OnnxGraph, OnnxNode
+
+    rng = np.random.default_rng(7)
+    w = rng.standard_normal((2, 2, 1, 1)).astype(np.float32)
+    inits = {"w": w}
+    nodes = []
+    for tag, var in (("a", 0.5), ("b", 2.0)):
+        nodes.append(OnnxNode("Conv", ["x" if tag == "a" else "bn_a", "w"], [f"c_{tag}"]))
+        inits.update({
+            f"g_{tag}": np.full(2, 1.5, np.float32),
+            f"beta_{tag}": np.full(2, 0.1, np.float32),
+            f"mu_{tag}": np.full(2, 0.2, np.float32),
+            f"var_{tag}": np.full(2, var, np.float32),
+        })
+        nodes.append(OnnxNode(
+            "BatchNormalization",
+            [f"c_{tag}", f"g_{tag}", f"beta_{tag}", f"mu_{tag}", f"var_{tag}"],
+            [f"bn_{tag}"],
+            attrs={"epsilon": _attr_f("epsilon", 1e-5)},
+        ))
+    graph = OnnxGraph(nodes=nodes, initializers=inits, inputs=["x"], outputs=["bn_b"])
+
+    x = rng.standard_normal((1, 2, 4, 4)).astype(np.float32)
+    plain = np.asarray(OnnxExecutor(
+        OnnxGraph([OnnxNode(n.op_type, list(n.inputs), list(n.outputs), attrs=dict(n.attrs))
+                   for n in nodes], dict(inits), ["x"], ["bn_b"]),
+        fuse=False,
+    )(jnp.asarray(x)))
+    fused = np.asarray(OnnxExecutor(graph, fuse=True)(jnp.asarray(x)))
+    np.testing.assert_allclose(fused, plain, rtol=1e-5, atol=1e-6)
+
+
+def test_executor_strictness_and_cast_roundtrip(tmp_path):
+    """Missing named tensors must raise (not run Conv with bias=None);
+    auto_pad=SAME_LOWER places the odd pad sample at the beginning;
+    cast(bf16) then cast(f32) restores the pristine weights."""
+    from aicovergen_tpu.convert.onnx_proto import OnnxGraph, OnnxNode
+
+    rng = np.random.default_rng(9)
+    w = rng.standard_normal((1, 1, 2, 2)).astype(np.float32)
+    x = rng.standard_normal((1, 1, 4, 4)).astype(np.float32)
+
+    # SAME_LOWER with k=2 (total pad 1 per dim): extra pad at the BEGINNING
+    from aicovergen_tpu.convert.onnx_proto import ATTR_STRING, OnnxAttr
+
+    node = OnnxNode("Conv", ["x", "w"], ["y"], attrs={
+        "auto_pad": OnnxAttr(name="auto_pad", type=ATTR_STRING, s=b"SAME_LOWER")
+    })
+    g = OnnxGraph([node], {"w": w}, ["x"], ["y"])
+    out = np.asarray(OnnxExecutor(g, fuse=False)(jnp.asarray(x)))
+    xp = np.pad(x, ((0, 0), (0, 0), (1, 0), (1, 0)))  # SAME_LOWER: pad begin
+    ref = np.zeros((1, 1, 4, 4), np.float32)
+    for i in range(4):
+        for j in range(4):
+            ref[0, 0, i, j] = np.sum(xp[0, 0, i : i + 2, j : j + 2] * w[0, 0])
+    np.testing.assert_allclose(out, ref, rtol=1e-5, atol=1e-6)
+
+    # missing named bias -> KeyError naming the tensor
+    bad = OnnxGraph(
+        [OnnxNode("Conv", ["x", "w", "ghost_bias"], ["y"])], {"w": w}, ["x"], ["y"]
+    )
+    with pytest.raises(KeyError, match="ghost_bias"):
+        OnnxExecutor(bad, fuse=False)(jnp.asarray(x))
+
+    # cast round-trip from pristine initializers
+    ex = OnnxExecutor(g, fuse=False)
+    big = rng.standard_normal((65,)).astype(np.float32)  # >64 elems -> weights
+    ex.initializers["w2"] = big
+    ex.weights["w2"] = big
+    ex.cast(jnp.bfloat16)
+    assert ex.weights["w2"].dtype != np.float32
+    restored = ex.cast(jnp.float32)
+    np.testing.assert_array_equal(restored["w2"], big)
+
+
+def test_resize_floor_sizes_and_unsupported_modes():
+    """ONNX Resize: scale-derived sizes use floor per spec; non-integer
+    nearest scales and align_corners raise instead of silently diverging."""
+    from aicovergen_tpu.convert.onnx_proto import ATTR_STRING, OnnxAttr, OnnxGraph, OnnxNode
+
+    x = np.arange(8, dtype=np.float32).reshape(1, 1, 2, 4)
+
+    def make(scales, ctm=None):
+        attrs = {}
+        if ctm:
+            attrs["coordinate_transformation_mode"] = OnnxAttr(
+                name="coordinate_transformation_mode", type=ATTR_STRING, s=ctm
+            )
+        node = OnnxNode("Resize", ["x", "", "scales"], ["y"], attrs=attrs)
+        g = OnnxGraph([node], {"scales": np.asarray(scales, np.float32)},
+                      ["x"], ["y"])
+        return OnnxExecutor(g, fuse=False)
+
+    out = np.asarray(make([1.0, 1.0, 2.0, 2.0])(jnp.asarray(x)))
+    assert out.shape == (1, 1, 4, 8)
+    np.testing.assert_array_equal(out[0, 0, :2, :2], [[0, 0], [0, 0]])
+
+    with pytest.raises(NotImplementedError):
+        make([1.0, 1.0, 1.5, 1.5])(jnp.asarray(x))  # non-integer nearest
+    with pytest.raises(NotImplementedError):
+        make([1.0, 1.0, 2.0, 2.0], ctm=b"align_corners")(jnp.asarray(x))
+
+
 def test_separate_pads_short_songs_to_full_batches():
     """Regression: with fewer chunks than the batch group (short songs),
     zeros_like(stream[:pad_n]) could only supply n filler rows, so the

@@ -140,3 +140,26 @@ def test_voice_converter_with_splits_and_pm():
     out, out_sr = vc.convert(audio, f0_method="pm", rms_mix_rate=0.25)
     assert out.dtype == np.int16 and out_sr == 40000
     assert abs(len(out) - 7 * 40000) < 40000 * 0.05
+
+
+def test_align_rms_source_matches_converted_class():
+    """Regression: near a 32 s class boundary the 16 kHz source and the
+    (slightly shorter) converted track can land in different classes; the
+    envelope-mix source must be padded/sliced to the CONVERTED track's
+    padded seconds, or the stretched gain track time-compresses and
+    near-silences the tail."""
+    from aicovergen_tpu.pipeline.vc import _align_rms_source
+
+    tgt_sr = 40000
+    # source 64.01 s (3 classes at 16 kHz), converted 63.98 s (2 classes)
+    n_true = SR * 64 + 160
+    src = jnp.ones(n_true)
+    out_b_len = 2 * tgt_sr * 32
+    aligned = _align_rms_source(src, n_true, out_b_len, tgt_sr)
+    assert aligned.shape[-1] == 2 * SR * 32  # sliced to the converted class
+
+    # source shorter than the converted class: zero-pad up
+    n_true = SR * 33
+    aligned = _align_rms_source(jnp.ones(n_true), n_true, out_b_len, tgt_sr)
+    assert aligned.shape[-1] == 2 * SR * 32
+    assert float(aligned[-1]) == 0.0
