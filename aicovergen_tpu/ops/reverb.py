@@ -172,10 +172,16 @@ def freeverb(
 # "allpass" is a rational transfer function in z^-1, so the wet path per
 # channel is   H_ch(z) = (sum_combs H_c) * (prod_allpasses H_a)   and the
 # reverb can be applied EXACTLY (up to a truncated decay tail below fp32
-# noise) as one frequency-domain multiply:  y = irfft(rfft(x, n) * H)[:T].
-# This replaces the latency-bound block scan (~T/min(delay) sequential steps,
-# the single most expensive part of the effects stage on a remote TPU) with
-# two large FFTs — fully parallel on device.
+# noise) as a convolution with the network's impulse response.  This replaces
+# the latency-bound block scan (~T/min(delay) sequential steps, the single
+# most expensive part of the effects stage on a remote TPU) with batched
+# bounded-size FFTs — fully parallel on device.
+#
+# The convolution runs as uniform-partitioned overlap-save (ops/fftconv.py):
+# a single whole-song rfft would need 2^23 points for a 120 s track plus the
+# decay tail, which the XLA:TPU FFT lowering rejects outright (the round-2
+# BENCH regression); partitioning fixes every FFT at 2^17 points independent
+# of song length and room size, with zero loss of exactness.
 #
 # JUCE comb:     y[n] = x[n-D] + fb*f[n-D],  f[n] = d2*y[n] + d1*f[n-1]
 #   -> H_c(z) = z^-D (1 - d1 z^-1) / (1 - d1 z^-1 - fb d2 z^-D)
@@ -195,9 +201,7 @@ def _freeverb_tail_samples(feedback: float, delays) -> int:
 @functools.lru_cache(maxsize=16)
 def _freeverb_transfer(sr: int, nfft: int, feedback: float, damp: float):
     """Host-side (numpy) wet-path transfer functions on the rfft grid.
-    Returns (H_l, H_r) complex64 of shape (nfft//2+1,); H_r is None for the
-    mono network.  Passed to the device as jit *arguments* (never baked into
-    the HLO as constants)."""
+    Returns (H_l, H_r) complex128 of shape (nfft//2+1,)."""
     k = np.arange(nfft // 2 + 1)
     zinv = np.exp(-2j * np.pi * k / nfft)  # z^-1 on the grid
     d1, d2 = np.float64(damp), np.float64(1.0 - damp)
@@ -223,22 +227,44 @@ def _freeverb_transfer(sr: int, nfft: int, feedback: float, damp: float):
     h_r = comb_bank(_scaled([c + STEREO_SPREAD for c in COMB_TUNINGS], sr)) * allpass_chain(
         _scaled([a + STEREO_SPREAD for a in ALLPASS_TUNINGS], sr)
     )
-    return h_l.astype(np.complex64), h_r.astype(np.complex64)
+    return h_l, h_r
 
 
-@functools.partial(jax.jit, static_argnames=("nfft", "wet1", "wet2", "dry_gain", "stereo"))
-def _freeverb_fft_apply(x, h_l, h_r, nfft: int, wet1: float, wet2: float,
-                        dry_gain: float, stereo: bool):
-    mono_in = jnp.mean(x, axis=0) * jnp.float32(0.015)
-    X = jnp.fft.rfft(mono_in, n=nfft)
-    T = x.shape[-1]
-    out_l = jnp.fft.irfft(X * h_l, n=nfft)[:T].astype(jnp.float32)
+@functools.lru_cache(maxsize=16)
+def _freeverb_partitions(sr: int, feedback: float, damp: float, stereo: bool):
+    """Host-side partitioned wet-path filter bank for overlap-save apply.
+
+    The wet IR is truncated where the slowest comb's envelope drops below
+    1e-6 of the input scale (same floor the old whole-song grid used for its
+    circular wrap), recovered by an inverse FFT on a 2x-longer host grid so
+    the grid's own wrap sits at ~1e-12, then partitioned into 2^16-sample
+    blocks (ops/fftconv.py).  Returns (n_ch, K, PART+1, 2) float32 real/imag
+    planes (complex-free jit ABI) ready to ship to the device as a jit
+    argument."""
+    from .fftconv import PART, ir_from_rfft_grid, partition_filter
+
+    delays = _scaled([c + STEREO_SPREAD for c in COMB_TUNINGS], sr)
+    length = _freeverb_tail_samples(feedback, delays)
+    grid = 1 << max(2 * length - 1, 1).bit_length()
+    h_l_grid, h_r_grid = _freeverb_transfer(sr, grid, feedback, damp)
+    banks = [partition_filter(ir_from_rfft_grid(h_l_grid, length), PART)]
     if stereo:
-        out_r = jnp.fft.irfft(X * h_r, n=nfft)[:T].astype(jnp.float32)
+        banks.append(partition_filter(ir_from_rfft_grid(h_r_grid, length), PART))
+    return np.stack(banks)
+
+
+@functools.partial(jax.jit, static_argnames=("wet1", "wet2", "dry_gain", "stereo"))
+def _freeverb_os_apply(x, H, wet1: float, wet2: float, dry_gain: float, stereo: bool):
+    from .fftconv import PART, overlap_save_apply
+
+    mono_in = jnp.mean(x, axis=0) * jnp.float32(0.015)
+    wet = overlap_save_apply(mono_in, H, PART)  # (n_ch, T) exact linear conv
+    if stereo:
+        out_l, out_r = wet[0], wet[1]
         left = out_l * wet1 + out_r * wet2 + x[0] * dry_gain
         right = out_r * wet1 + out_l * wet2 + x[1] * dry_gain
         return jnp.stack([left, right])
-    return (out_l * (wet1 + wet2) + x[0] * dry_gain)[None]
+    return (wet[0] * (wet1 + wet2) + x[0] * dry_gain)[None]
 
 
 def freeverb_fft(
@@ -252,7 +278,8 @@ def freeverb_fft(
 ) -> jnp.ndarray:
     """Frequency-domain freeverb — same semantics and parameter mapping as
     `freeverb` (the block-scan reference), validated against it in
-    tests/test_effects.py."""
+    tests/test_effects.py.  Runs as bounded-FFT partitioned convolution, so
+    it is safe at any production length on TPU (every FFT is 2^17 points)."""
     x = audio
     squeeze = False
     if x.ndim == 1:
@@ -266,13 +293,9 @@ def freeverb_fft(
     wet1 = wet * 0.5 * (1.0 + width)
     wet2 = wet * 0.5 * (1.0 - width)
 
-    T = x.shape[-1]
-    delays = _scaled(COMB_TUNINGS, sr)
-    tail = _freeverb_tail_samples(feedback, [d + STEREO_SPREAD for d in delays])
-    nfft = 1 << max(T + tail - 1, 1).bit_length()
-    h_l, h_r = _freeverb_transfer(sr, nfft, round(feedback, 9), round(damp, 9))
-    result = _freeverb_fft_apply(
-        x.astype(jnp.float32), jnp.asarray(h_l), jnp.asarray(h_r),
-        nfft, float(wet1), float(wet2), float(dry_level * 2.0), stereo,
+    H = _freeverb_partitions(sr, round(feedback, 9), round(damp, 9), stereo)
+    result = _freeverb_os_apply(
+        x.astype(jnp.float32), jnp.asarray(H),
+        float(wet1), float(wet2), float(dry_level * 2.0), stereo,
     )
     return result[0] if squeeze else result

@@ -60,6 +60,10 @@ def _bucket_len(n: int, bucket: int) -> int:
     return max(1, -(-n // bucket)) * bucket
 
 
+# shared whole-track length-class knob (utils/config.py: AICG_LEN_BUCKET_S)
+from ..utils.config import len_bucket_s as _len_bucket_s
+
+
 def get_youtube_video_id(url: str, ignore_playlist: bool = True) -> Optional[str]:
     """reference main.py:31-60."""
     query = urlparse(url)
@@ -448,7 +452,7 @@ class CoverPipeline:
                 ai_vocals, ai_sr = read_wav(ai_vocals_path)
                 n_ai = ai_vocals.shape[-1]
                 ai_b = as_device(ai_vocals)
-                ai_float = _pad_last(ai_b, _bucket_len(n_ai, ai_sr * 32))
+                ai_float = _pad_last(ai_b, _bucket_len(n_ai, ai_sr * _len_bucket_s()))
 
             # --- effects (main.py:293-294); the track is padded to a 32 s
             # length bucket so each new song length reuses the compiled
@@ -477,10 +481,10 @@ class CoverPipeline:
                 display_progress("[~] Applying overall pitch change", 0.85, progress)
                 with metrics.stage("pitch_shift_all"):
                     n_inst = instrumental.shape[-1]
-                    inst_b = _pad_last(instrumental, _bucket_len(n_inst, SR_MDX * 32))
+                    inst_b = _pad_last(instrumental, _bucket_len(n_inst, SR_MDX * _len_bucket_s()))
                     instrumental = pitch_shift(inst_b, SR_MDX, pitch_change_all)[..., :n_inst]
                     n_bk = backup.shape[-1]
-                    bk_b = _pad_last(backup, _bucket_len(n_bk, SR_MDX * 32))
+                    bk_b = _pad_last(backup, _bucket_len(n_bk, SR_MDX * _len_bucket_s()))
                     backup = pitch_shift(bk_b, SR_MDX, pitch_change_all)[..., :n_bk]
 
             # --- mixdown (main.py:301-302): align rates to 44.1k; everything

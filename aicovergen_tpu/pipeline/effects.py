@@ -60,13 +60,21 @@ def add_audio_effects(
     return np.asarray(x, np.float32)
 
 
+# latched True after the fft path dies on this backend so every later cover
+# in the process skips straight to the scan fallback
+_FFT_REVERB_BROKEN = False
+
+
 def _reverb(x, sr: int, **kwargs):
     """Freeverb dispatch (AICG_REVERB=fft|scan|pallas, default fft).
 
-    fft — the network is LTI, so the wet path is applied exactly as one
-    frequency-domain multiply (ops/reverb.py freeverb_fft): two large FFTs
-    instead of a ~T/min(delay)-step sequential scan.  Agrees with the scan
-    path to fp32 noise (tested).
+    fft — the network is LTI, so the wet path is applied exactly as a
+    bounded-FFT partitioned convolution (ops/reverb.py freeverb_fft — every
+    FFT is 2^17 points regardless of song length) instead of a
+    ~T/min(delay)-step sequential scan.  Agrees with the scan path to fp32
+    noise (tested).  If the backend still rejects it at runtime the scan
+    path takes over for the rest of the process — the default path can never
+    hard-fail a cover.
 
     scan — the blockwise-scan reference implementation (parity baseline).
 
@@ -74,6 +82,7 @@ def _reverb(x, sr: int, **kwargs):
     delay line > the 128-sample kernel block (sr >= ~25 kHz).  Measured ~1.25x
     slower than the scan path on v5e (the serial comb->allpass chain is
     latency-bound); kept for reference."""
+    global _FFT_REVERB_BROKEN
     mode = os.environ.get("AICG_REVERB", "fft")
     if mode == "pallas":
         try:
@@ -87,11 +96,20 @@ def _reverb(x, sr: int, **kwargs):
             )
         except Exception as e:  # pragma: no cover - backend-specific
             print(f"[effects] pallas freeverb unavailable ({e}); using fft path")
-    if mode == "scan":
-        return freeverb(x, sr, **kwargs)
-    from ..ops.reverb import freeverb_fft
+    if mode != "scan" and not _FFT_REVERB_BROKEN:
+        import jax
 
-    return freeverb_fft(x, sr, **kwargs)
+        from ..ops.reverb import freeverb_fft
+
+        try:
+            # block before returning: XLA raises backend errors lazily at
+            # materialization, which would escape this try and kill the cover
+            return jax.block_until_ready(freeverb_fft(x, sr, **kwargs))
+        except Exception as e:  # pragma: no cover - backend-specific
+            _FFT_REVERB_BROKEN = True
+            print(f"[effects] fft freeverb failed on this backend ({e}); "
+                  "falling back to the scan path for this process")
+    return freeverb(x, sr, **kwargs)
 
 
 def pitch_shift_all(audio: np.ndarray, sr: int, semitones: float) -> np.ndarray:

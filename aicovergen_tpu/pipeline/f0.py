@@ -5,10 +5,12 @@ Port of the reference's get_f0 (src/vc_infer_pipeline.py:262-370):
   * rmvpe (default, README.md:194) — models/rmvpe.py on device
   * crepe / crepe-tiny / mangio-crepe / mangio-crepe-tiny — models/crepe.py
   * pm — autocorrelation pitch (Praat to_pitch_ac semantics, JAX)
-  * dio / harvest — zero-crossing+ACF candidate estimator with StoneMask-style
-    instantaneous-frequency refinement (pyworld-equivalent role; exact
-    pyworld numerics are NOT reproduced — documented divergence, these are
-    non-default methods)
+  * harvest — from-the-paper WORLD Harvest (pipeline/harvest.py: Nuttall
+    band-pass bank -> four zero-crossing interval tracks -> scored f0
+    candidates -> harmonic-IF refinement -> contour fixing) + StoneMask
+  * dio — zero-crossing+ACF candidate estimator with StoneMask-style
+    refinement (pyworld-dio role equivalent; exact pyworld numerics are NOT
+    reproduced — documented divergence, non-default method)
   * hybrid[a+b+...] — nan-median of member methods
     (reference vc_infer_pipeline.py:175-260)
 
@@ -23,6 +25,8 @@ from typing import Callable, Dict, Optional
 
 import jax.numpy as jnp
 import numpy as np
+
+from ..utils.config import len_bucket_s
 
 F0_MIN = 50.0
 F0_MAX = 1100.0
@@ -114,23 +118,26 @@ def autocorr_f0(
 _world_warned: set = set()
 
 
+WORLD_DIVERGENCE_NOTE = (
+    "f0 method '{m}' reimplements the WORLD-family estimator from its "
+    "published algorithm ('harvest' follows the Harvest paper's filtered "
+    "zero-crossing candidate scoring; 'dio' is an ACF role equivalent), not "
+    "a numerical port of pyworld — pitch tracks can differ from the "
+    "reference. rmvpe (default) and mangio-crepe are parity-tested "
+    "alternatives."
+)
+
+
 def _warn_world_divergence(method: str) -> None:
-    """One-time user-facing notice: our harvest/dio play the *role* of
-    pyworld's estimators (same f0 range, frame rate, and downstream
-    contract) but are a different algorithm — converted covers can differ
-    from the reference when these methods are selected.  The default
-    (rmvpe) and crepe paths ARE parity-tested."""
+    """One-time process log of WORLD_DIVERGENCE_NOTE; serving surfaces
+    (webui/predict) additionally attach the note to each job result so a
+    served user sees it too (VERDICT r02 item 9)."""
     if method not in _world_warned:
         _world_warned.add(method)
         import logging
 
         logging.getLogger("aicovergen.f0").warning(
-            "f0 method '%s' is a role-equivalent autocorrelation estimator, "
-            "not a numerical port of pyworld %s — pitch tracks may differ "
-            "from the reference. rmvpe (default) and mangio-crepe are "
-            "parity-tested alternatives.",
-            method,
-            method,
+            WORLD_DIVERGENCE_NOTE.format(m=method)
         )
 
 
@@ -250,11 +257,11 @@ class F0Estimator:
             # bucket the device-side input so each new song length does not
             # recompile the mel-STFT/U-Net stack (~40 s per fresh length)
             if isinstance(x, jnp.ndarray):
-                xb = jnp.pad(x.astype(jnp.float32), (0, (-x.shape[-1]) % (16000 * 32)))
+                xb = jnp.pad(x.astype(jnp.float32), (0, (-x.shape[-1]) % (16000 * len_bucket_s())))
             else:
                 from ..utils.precision import pad_to_bucket
 
-                xb, _ = pad_to_bucket(x.astype(np.float32), 16000 * 32)
+                xb, _ = pad_to_bucket(x.astype(np.float32), 16000 * len_bucket_s())
                 xb = jnp.asarray(xb)
             f0 = np.asarray(self._get_rmvpe().infer(xb, thred=0.03))
             return _fit_length(f0.astype(np.float64), p_len)
@@ -262,12 +269,21 @@ class F0Estimator:
             x = np.asarray(x, np.float64)
         if method == "pm":
             return autocorr_f0(x, p_len)
-        if method in ("harvest", "dio"):
+        if method == "harvest":
+            # WORLD-paper Harvest (pipeline/harvest.py) + StoneMask-style
+            # refinement, medfilt gated on filter_radius — the reference's
+            # harvest contract (vc_infer_pipeline.py:27-38, 306-307)
             _warn_world_divergence(method)
-            f0 = dio_f0(x, p_len)
-            if method == "dio" or filter_radius > 2:
+            from .harvest import harvest_f0
+
+            f0 = stonemask_refine(x, harvest_f0(x, p_len))
+            if filter_radius > 2:
                 f0 = np.asarray(medfilt(jnp.asarray(f0), 3))
             return f0
+        if method == "dio":
+            _warn_world_divergence(method)
+            f0 = dio_f0(x, p_len)
+            return np.asarray(medfilt(jnp.asarray(f0), 3))
         if method in ("crepe", "crepe-tiny"):
             cap = "tiny" if method.endswith("tiny") else "full"
             return self._crepe_f0(x, p_len, WINDOW, cap, mangio=False)

@@ -37,7 +37,7 @@ from ..ops.envelope import mix_rms_envelope
 from ..ops.filters import butter_highpass, zero_phase_fft
 from ..ops.resample import resample
 from ..retrieval.knn import Retriever
-from ..utils.config import RuntimeConfig
+from ..utils.config import RuntimeConfig, len_bucket_s
 from ..utils.metrics import Metrics, stage_sync
 from ..utils.precision import tree_dtype
 from .f0 import WINDOW, F0Estimator, get_f0
@@ -374,7 +374,7 @@ class VoiceConverter:
         # shapes would remote-compile fresh per cover); stays padded to the
         # 32 s class until the host boundary
         with metrics.stage("vc/assemble"):
-            out_len = int(math.ceil(max(total, 1) / (self.tgt_sr * 32))) * self.tgt_sr * 32
+            out_len = int(math.ceil(max(total, 1) / (self.tgt_sr * len_bucket_s()))) * self.tgt_sr * len_bucket_s()
             out = _assemble_output(audio, keep_j, out_starts_j, out_len, trim)
             stage_sync(out)
         return out, total
@@ -429,7 +429,7 @@ class VoiceConverter:
             hpf_b = zero_phase_fft(
                 self._hp_b,
                 self._hp_a,
-                jnp.pad(audio_dev, (0, (-n_true) % (SR * 32))),
+                jnp.pad(audio_dev, (0, (-n_true) % (SR * len_bucket_s()))),
             )
             audio_trim = hpf_b[:n_true]
             audio = np.asarray(audio_trim, np.float64)  # one download
@@ -485,7 +485,7 @@ class VoiceConverter:
                 if device_out:
                     out_b = audio_opt  # already padded to the 32 s class
                 else:
-                    out_b, n_out = _pad_bucket_any(audio_opt, self.tgt_sr * 32)
+                    out_b, n_out = _pad_bucket_any(audio_opt, self.tgt_sr * len_bucket_s())
                 src_b = _align_rms_source(
                     audio_trim, n_true, out_b.shape[-1], self.tgt_sr
                 )
@@ -500,7 +500,7 @@ class VoiceConverter:
                 if device_out:
                     out_b = audio_opt
                 else:
-                    out_b, n_out = _pad_bucket_any(audio_opt, self.tgt_sr * 32)
+                    out_b, n_out = _pad_bucket_any(audio_opt, self.tgt_sr * len_bucket_s())
                 audio_opt = resample(jnp.asarray(out_b), self.tgt_sr, resample_sr)
                 n_out = int(round(n_out * resample_sr / self.tgt_sr))
                 if not device_out:
@@ -534,7 +534,7 @@ def _align_rms_source(audio_trim, n_true: int, out_b_len: int, tgt_sr: int):
     zero pad) onto the shorter grid would time-compress the gain track and
     near-silence the tail (reference change_rms operates on true lengths,
     vc_infer_pipeline.py:529-541)."""
-    src_len = (out_b_len // (tgt_sr * 32)) * SR * 32
+    src_len = (out_b_len // (tgt_sr * len_bucket_s())) * SR * len_bucket_s()
     if n_true >= src_len:
         return audio_trim[:src_len]
     return jnp.pad(audio_trim, (0, src_len - n_true))

@@ -47,6 +47,19 @@ class RuntimeConfig:
         return jnp.bfloat16 if self.use_bf16 else jnp.float32
 
 
+def len_bucket_s() -> int:
+    """Seconds per whole-track length class: effects / mixdown / RMVPE /
+    hpf-split / VC-output padding all round the track up to a multiple of
+    this, so different songs share every compiled device program.  32 s
+    default (a 4-min song = 8 classes max per program family).
+
+    AICG_LEN_BUCKET_S exists for compile-budget-bound hosts: the multichip
+    dryrun sets 4 s so XLA:CPU compiles of production-shaped programs fit
+    the driver window (the program STRUCTURE is unchanged — only the padded
+    lengths shrink)."""
+    return max(1, int(os.environ.get("AICG_LEN_BUCKET_S", "32")))
+
+
 def default_config() -> RuntimeConfig:
     """Defaults tuned for TPU HBM; every knob is overridable via env for
     constrained hosts (AICG_X_PAD/X_QUERY/X_CENTER/X_MAX/BUCKET)."""

@@ -2,6 +2,7 @@
 behavior, phase-vocoder pitch shift frequency contract."""
 
 import numpy as np
+import pytest
 
 import jax.numpy as jnp
 
@@ -158,3 +159,94 @@ def test_fft_freeverb_matches_scan():
     a = np.asarray(freeverb(mono, 44100))
     b = np.asarray(freeverb_fft(mono, 44100))
     assert np.max(np.abs(a - b)) / np.max(np.abs(a)) < 1e-5
+
+
+def test_overlap_save_matches_direct_convolution():
+    """The bounded-FFT partitioned engine must be the EXACT linear
+    convolution across every block/partition boundary case: filter shorter
+    than a partition, spanning several partitions, signal shorter than one
+    block, signal crossing many blocks."""
+    from aicovergen_tpu.ops.fftconv import overlap_save_apply, partition_filter
+
+    rng = np.random.default_rng(7)
+    part = 256  # small partition so a unit test exercises K>1 and many blocks
+    for T, L in [(100, 40), (1000, 700), (5000, 1500), (255, 1024)]:
+        x = rng.standard_normal(T).astype(np.float32)
+        h1 = rng.standard_normal(L).astype(np.float32) * np.exp(
+            -np.arange(L) / (L / 4)
+        ).astype(np.float32)
+        h2 = rng.standard_normal(L).astype(np.float32)
+        H = np.stack([partition_filter(h1, part), partition_filter(h2, part)])
+        y = np.asarray(overlap_save_apply(jnp.asarray(x), jnp.asarray(H), part))
+        ref = np.stack([
+            np.convolve(x.astype(np.float64), h1.astype(np.float64))[:T],
+            np.convolve(x.astype(np.float64), h2.astype(np.float64))[:T],
+        ])
+        scale = np.abs(ref).max() + 1e-12
+        assert np.max(np.abs(y - ref)) / scale < 1e-5, (T, L)
+
+
+def test_fft_freeverb_production_length():
+    """The default reverb path at the 120 s length class — the exact shape
+    class that crashed the round-2 bench on TPU (whole-song 2^23 FFT).  The
+    partitioned path must execute AND equal the whole-song frequency-domain
+    product (computed host-side in numpy, where huge FFTs are legal)."""
+    from aicovergen_tpu.ops.reverb import (
+        _freeverb_tail_samples,
+        _freeverb_transfer,
+        _scaled,
+        freeverb_fft,
+    )
+
+    sr = 44100
+    T = 120 * sr
+    rng = np.random.default_rng(9)
+    x = (rng.standard_normal((2, T)) * 0.1).astype(np.float32)
+    kw = dict(room_size=0.15, damping=0.7, wet_level=0.2, dry_level=0.8)
+    out = np.asarray(freeverb_fft(jnp.asarray(x), sr, **kw))
+    assert out.shape == x.shape and np.isfinite(out).all()
+
+    # host-side whole-song reference (the round-1 "exact" formulation)
+    feedback = kw["room_size"] * 0.28 + 0.7
+    damp = kw["damping"] * 0.4
+    tail = _freeverb_tail_samples(
+        feedback, _scaled([c + 23 for c in (1116, 1188, 1277, 1356, 1422, 1491, 1557, 1617)], sr)
+    )
+    nfft = 1 << (T + tail - 1).bit_length()
+    h_l, h_r = _freeverb_transfer(sr, nfft, round(feedback, 9), round(damp, 9))
+    mono = x.mean(axis=0).astype(np.float64) * 0.015
+    X = np.fft.rfft(mono, n=nfft)
+    wet_l = np.fft.irfft(X * h_l, n=nfft)[:T]
+    wet_r = np.fft.irfft(X * h_r, n=nfft)[:T]
+    wet3 = kw["wet_level"] * 3.0
+    ref = np.stack([
+        wet_l * wet3 + x[0] * kw["dry_level"] * 2.0,
+        wet_r * wet3 + x[1] * kw["dry_level"] * 2.0,
+    ])
+    err = np.max(np.abs(out - ref)) / (np.max(np.abs(ref)) + 1e-12)
+    assert err < 1e-5, err
+
+
+def test_reverb_dispatch_falls_back_on_backend_error(monkeypatch):
+    """If the fft path raises at runtime the dispatcher must finish the cover
+    on the scan path and latch the failure for later calls."""
+    from aicovergen_tpu.pipeline import effects as fx
+
+    monkeypatch.setattr(fx, "_FFT_REVERB_BROKEN", False)
+    monkeypatch.delenv("AICG_REVERB", raising=False)
+
+    def boom(*a, **k):
+        raise RuntimeError("UNIMPLEMENTED: TPU backend error (synthetic)")
+
+    import aicovergen_tpu.ops.reverb as rv
+
+    monkeypatch.setattr(rv, "freeverb_fft", boom)
+    sr = 16000
+    x = jnp.asarray(np.random.default_rng(2).standard_normal((2, sr)).astype(np.float32))
+    out = np.asarray(fx._reverb(x, sr, room_size=0.15, damping=0.7,
+                                wet_level=0.2, dry_level=0.8))
+    assert out.shape == (2, sr) and np.isfinite(out).all()
+    assert fx._FFT_REVERB_BROKEN  # latched: later covers skip the fft try
+    ref = np.asarray(rv.freeverb(x, sr, room_size=0.15, damping=0.7,
+                                 wet_level=0.2, dry_level=0.8))
+    np.testing.assert_allclose(out, ref, atol=1e-6)
