@@ -86,6 +86,14 @@ class Predictor:
                 download_online_model(self.store, custom_rvc_model_download_url, name)
             rvc_model = name
 
+        # cog returns a Path, so non-parity f0 choices are surfaced in the
+        # per-call log (visible in the job's output on Replicate), not only
+        # the one-time process log
+        from ..pipeline.f0 import f0_divergence_warnings
+
+        for w in f0_divergence_warnings(pitch_detection_algorithm):
+            print(f"[predict] warning: {w}")
+
         return self.pipeline.song_cover(
             song_input,
             rvc_model,

@@ -62,6 +62,9 @@ def _worker(pipeline):
             job["status"] = "done"
             job["result"] = path
             job["progress"] = 1.0
+            from ..pipeline.f0 import f0_divergence_warnings
+
+            job["warnings"] = f0_divergence_warnings(params.get("f0_method"))
         except Exception as e:  # surface like gr.Error (reference main.py:81-85)
             job["status"] = "error"
             job["message"] = str(e)
@@ -203,7 +206,8 @@ async function poll(id){const r=await fetch('/api/job/'+id);const j=await r.json
 document.getElementById('fill').style.width=(j.progress*100)+'%';
 document.getElementById('msg').textContent=j.message||j.status;
 if(j.status==='done'){const p=document.getElementById('player');
-p.src='/api/audio?path='+encodeURIComponent(j.result);p.style.display='block';}
+p.src='/api/audio?path='+encodeURIComponent(j.result);p.style.display='block';
+if(j.warnings&&j.warnings.length){document.getElementById('msg').textContent=j.warnings.join(' ');}}
 else if(j.status!=='error'){setTimeout(()=>poll(id),1000);}}
 async function dlModel(){const r=await fetch('/api/download_model',{method:'POST',
 body:JSON.stringify({url:v('dl_url'),name:v('dl_name')})});
@@ -349,6 +353,8 @@ def serve(
     port: int = 7860,
     start_worker: bool = True,
     workers: int = 1,
+    warmup_voice: Optional[str] = None,
+    warmup_seconds: float = 240.0,
 ) -> ThreadingHTTPServer:
     store = AssetStore(base_dir or default_base_dir())
     os.makedirs(store.output_dir, exist_ok=True)
@@ -363,6 +369,20 @@ def serve(
         pipeline = CoverPipeline(store, runtime=default_config(), mesh=_serving_mesh())
         for _ in range(max(workers, 1)):
             threading.Thread(target=_worker, args=(pipeline,), daemon=True).start()
+        if warmup_voice:
+            # pay checkpoint loads + compiles + per-process executable loads
+            # while the server is already accepting requests; the first real
+            # cover then runs at steady state (3-10x faster on a remote-TPU
+            # tunnel, VERDICT r02 item 8)
+            def _warm():
+                try:
+                    spent = pipeline.warmup(warmup_voice, warmup_seconds)
+                    print(f"[+] warmup({warmup_voice!r}, {warmup_seconds:.0f}s "
+                          f"class) done in {spent:.1f}s — serving at steady state")
+                except Exception as e:
+                    print(f"[!] warmup failed (serving continues cold): {e}")
+
+            threading.Thread(target=_warm, daemon=True).start()
     server = ThreadingHTTPServer((host, port), make_handler(store))
     return server
 
@@ -387,9 +407,17 @@ def main(argv=None) -> int:
     ap.add_argument("--workers", type=int, default=int(os.environ.get("AICG_WORKERS", 1)),
                     help="concurrent cover jobs (multi-song throughput serving)")
     ap.add_argument("--base-dir", default=None)
+    ap.add_argument("--warmup", default=os.environ.get("AICG_WARMUP") or None,
+                    metavar="VOICE",
+                    help="run one synthetic cover with this voice at startup "
+                    "(background) so the first user job is steady-state fast")
+    ap.add_argument("--warmup-seconds", type=float,
+                    default=float(os.environ.get("AICG_WARMUP_SECONDS", 240)),
+                    help="length class to warm (default 240 s = 4-min song)")
     args = ap.parse_args(argv)
     host = "0.0.0.0" if args.listen or args.share else args.listen_host
-    server = serve(args.base_dir, host, args.listen_port, workers=args.workers)
+    server = serve(args.base_dir, host, args.listen_port, workers=args.workers,
+                   warmup_voice=args.warmup, warmup_seconds=args.warmup_seconds)
     print(f"[+] web UI at http://{host}:{args.listen_port}")
     if args.share:
         import shlex

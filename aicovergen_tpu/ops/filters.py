@@ -16,6 +16,7 @@ runs on device.
 
 from __future__ import annotations
 
+import functools
 from typing import Tuple
 
 import jax
@@ -113,47 +114,67 @@ def filtfilt(b, a, x: jnp.ndarray) -> jnp.ndarray:
     return sosfiltfilt(tf2sos(b, a), x, padlen=3 * (ntaps - 1))
 
 
-def zero_phase_fft(b, a, x: jnp.ndarray, pad_seconds_samples: int = 16000) -> jnp.ndarray:
-    """Zero-phase IIR filtering in the frequency domain: |H(omega)|^2 applied
-    to the odd-extended signal.
+@functools.lru_cache(maxsize=8)
+def _zero_phase_bank(b_bytes: bytes, a_bytes: bytes, L: int):
+    """Host-side: the zero-phase response |H(omega)|^2 as a centered FIR of
+    half-width L, partitioned for the bounded-FFT overlap-save engine.
+    Returns (1, K, PART+1, 2) float32 (see ops/fftconv.py)."""
+    from scipy import signal
 
-    Mathematically this is filtfilt with periodic boundary handling; for
-    long signals the interior matches scipy.filtfilt to ~1e-5 while running
-    as one rfft/irfft pair — the TPU-native path for the VC input high-pass
-    (reference vc_infer_pipeline.py:513).  The time-domain SOS cascade
-    (sosfiltfilt above) remains for exact-parity needs.
+    from .fftconv import PART, partition_filter
+
+    b = np.frombuffer(b_bytes, np.float64)
+    a = np.frombuffer(a_bytes, np.float64)
+    # IR recovered on a >=4L grid so its own circular wrap sits far below
+    # the +-L truncation floor
+    n_grid = 1 << (4 * max(L, 1)).bit_length()
+    _w, h = signal.freqz(b, a, worN=n_grid // 2 + 1, whole=False)
+    ir = np.fft.irfft(np.abs(h) ** 2, n=n_grid)
+    h_c = np.concatenate([ir[-L:], ir[: L + 1]])  # centered, length 2L+1
+    return partition_filter(h_c, PART)[None]
+
+
+def zero_phase_fft(b, a, x: jnp.ndarray, pad_seconds_samples: int = 16000) -> jnp.ndarray:
+    """Zero-phase IIR filtering in the frequency domain: the even FIR
+    irfft(|H(omega)|^2), truncated at +-padlen, convolved with the
+    odd-extended signal by bounded-FFT partitioned overlap-save
+    (ops/fftconv.py — every device FFT is 2^17 points).
+
+    Mathematically this is filtfilt with reflected boundary handling; for
+    long signals the interior matches scipy.filtfilt to ~1e-5 — the
+    TPU-native path for the VC input high-pass (reference
+    vc_infer_pipeline.py:513).  A single whole-track pow-2 FFT (the old
+    formulation) is 2^22 points for a 2-minute song and ran ~2.7 s on the
+    TPU FFT unit; the partitioned form is length-independent per block and
+    ~50x faster at that scale.  The time-domain SOS cascade (sosfiltfilt
+    above) remains for exact-parity needs.
 
     PRECONDITION: the filter's zero-phase impulse response must decay to
-    negligible within `padlen` samples (min(pad_seconds_samples, T-1)).
-    The FFT length is rounded up to a power of two, so the trailing zero
-    pad wraps circularly; a narrow/long-IR filter (e.g. a sub-Hz notch)
-    would leak tail energy into the signal head.  The 48 Hz high-pass this
-    serves has an IR of ~10^2 samples — far inside the 16000-sample guard.
-    New call sites with sharper filters must raise pad_seconds_samples (or
-    use sosfiltfilt).
+    negligible within `padlen` samples (min(pad_seconds_samples, T-1)) —
+    the IR is truncated there.  The 48 Hz high-pass this serves has an IR
+    of ~10^2 samples, far inside the 16000-sample guard.  New call sites
+    with sharper filters must raise pad_seconds_samples (or use
+    sosfiltfilt).
     """
+    from .fftconv import PART, overlap_save_apply
+
     x = jnp.asarray(x)
     T = x.shape[-1]
     padlen = min(pad_seconds_samples, T - 1)
+    L = padlen
     left = 2 * x[0] - x[1 : padlen + 1][::-1]
     right = 2 * x[-1] - x[-padlen - 1 : -1][::-1]
-    ext = jnp.concatenate([left, x, right])
-    # round the FFT up to a power of two: non-pow2 lengths hit Bluestein on
-    # TPU (~10x slower).  The trailing zeros wrap circularly, but the filter's
-    # impulse response (~10^2 samples for the 48 Hz high-pass) dies out well
-    # inside the padlen guard, so the recovered [padlen:padlen+T] window is
-    # unaffected to fp precision.
-    n = 1 << (ext.shape[-1] - 1).bit_length()
-
-    # |H|^2 at the rfft bins (host-side, static length)
-    from scipy import signal
-
-    _w, h = signal.freqz(b, a, worN=n // 2 + 1, whole=False)
-    h2 = jnp.asarray(np.abs(h) ** 2, jnp.float32)
-
-    spec = jnp.fft.rfft(ext, n=n)
-    y = jnp.fft.irfft(spec * h2, n=n)
-    return y[padlen : padlen + T].astype(x.dtype)
+    # trailing L zeros so the conv's group delay window [L+padlen, L+padlen+T)
+    # stays inside the overlap-save output (which is truncated at its input
+    # length)
+    ext = jnp.concatenate([left, x, right, jnp.zeros((L,), x.dtype)])
+    bank = _zero_phase_bank(
+        np.ascontiguousarray(np.atleast_1d(b), np.float64).tobytes(),
+        np.ascontiguousarray(np.atleast_1d(a), np.float64).tobytes(),
+        L,
+    )
+    y = overlap_save_apply(ext, jnp.asarray(bank), PART)[0]
+    return y[L + padlen : L + padlen + T].astype(x.dtype)
 
 
 def medfilt(x: jnp.ndarray, kernel_size: int = 3) -> jnp.ndarray:

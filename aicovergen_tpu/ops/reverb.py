@@ -253,8 +253,9 @@ def _freeverb_partitions(sr: int, feedback: float, damp: float, stereo: bool):
     return np.stack(banks)
 
 
-@functools.partial(jax.jit, static_argnames=("wet1", "wet2", "dry_gain", "stereo"))
-def _freeverb_os_apply(x, H, wet1: float, wet2: float, dry_gain: float, stereo: bool):
+def freeverb_os_core(x, H, wet1: float, wet2: float, dry_gain: float, stereo: bool):
+    """Traceable wet/dry mix body — call inside an enclosing jit (the fused
+    effects chain, pipeline/effects.py) or via the jitted `_freeverb_os_apply`."""
     from .fftconv import PART, overlap_save_apply
 
     mono_in = jnp.mean(x, axis=0) * jnp.float32(0.015)
@@ -265,6 +266,30 @@ def _freeverb_os_apply(x, H, wet1: float, wet2: float, dry_gain: float, stereo: 
         right = out_r * wet1 + out_l * wet2 + x[1] * dry_gain
         return jnp.stack([left, right])
     return (wet[0] * (wet1 + wet2) + x[0] * dry_gain)[None]
+
+
+_freeverb_os_apply = functools.partial(jax.jit, static_argnames=("wet1", "wet2", "dry_gain", "stereo"))(freeverb_os_core)
+
+
+def freeverb_fft_plan(
+    sr: int,
+    stereo: bool,
+    room_size: float = 0.5,
+    damping: float = 0.5,
+    wet_level: float = 0.33,
+    dry_level: float = 0.4,
+    width: float = 1.0,
+):
+    """Host-side plan for the partitioned freeverb: the reference parameter
+    mapping (pedalboard Reverb semantics) plus the partitioned filter bank.
+    Returns (H_bank float32 np, wet1, wet2, dry_gain)."""
+    feedback = room_size * 0.28 + 0.7
+    damp = damping * 0.4
+    wet = wet_level * 3.0
+    wet1 = wet * 0.5 * (1.0 + width)
+    wet2 = wet * 0.5 * (1.0 - width)
+    H = _freeverb_partitions(sr, round(feedback, 9), round(damp, 9), stereo)
+    return H, float(wet1), float(wet2), float(dry_level * 2.0)
 
 
 def freeverb_fft(
@@ -287,15 +312,10 @@ def freeverb_fft(
         squeeze = True
     stereo = x.shape[0] == 2
 
-    feedback = room_size * 0.28 + 0.7
-    damp = damping * 0.4
-    wet = wet_level * 3.0
-    wet1 = wet * 0.5 * (1.0 + width)
-    wet2 = wet * 0.5 * (1.0 - width)
-
-    H = _freeverb_partitions(sr, round(feedback, 9), round(damp, 9), stereo)
+    H, wet1, wet2, dry_gain = freeverb_fft_plan(
+        sr, stereo, room_size, damping, wet_level, dry_level, width
+    )
     result = _freeverb_os_apply(
-        x.astype(jnp.float32), jnp.asarray(H),
-        float(wet1), float(wet2), float(dry_level * 2.0), stereo,
+        x.astype(jnp.float32), jnp.asarray(H), wet1, wet2, dry_gain, stereo
     )
     return result[0] if squeeze else result

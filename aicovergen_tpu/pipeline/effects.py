@@ -10,15 +10,35 @@
 
 from __future__ import annotations
 
+import functools
 import os
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 from ..ops.dynamics import compressor, highpass_1st_order
 from ..ops.pitchshift import pitch_shift
 from ..ops.reverb import freeverb
+
+
+@functools.partial(
+    jax.jit, static_argnames=("sr", "wet1", "wet2", "dry_gain", "stereo")
+)
+def _effects_chain_fused(x, H, sr: int, wet1: float, wet2: float,
+                         dry_gain: float, stereo: bool):
+    """hpf -> compressor -> partitioned freeverb as ONE device program.
+
+    The unfused chain is 3+ separately-jitted dispatches; on a remote-TPU
+    tunnel each dispatch costs a host round-trip, which dominated the
+    steady-state effects stage (~1.1 s measured vs ~0.3 s of compute).
+    Fusing also lets XLA overlap the scan stages with the reverb FFTs."""
+    from ..ops.reverb import freeverb_os_core
+
+    x = highpass_1st_order(x, sr)
+    x = compressor(x, sr, threshold_db=-15.0, ratio=4.0)
+    return freeverb_os_core(x, H, wet1, wet2, dry_gain, stereo)
 
 
 def add_audio_effects_device(
@@ -30,7 +50,26 @@ def add_audio_effects_device(
     reverb_damping: float = 0.7,
 ) -> jnp.ndarray:
     """(C, T) device float -> processed (C, T), fully in HBM."""
+    global _FFT_REVERB_BROKEN
     x = audio.astype(jnp.float32)
+    if os.environ.get("AICG_REVERB", "fft") == "fft" and not _FFT_REVERB_BROKEN:
+        from ..ops.reverb import freeverb_fft_plan
+
+        stereo = x.shape[0] == 2
+        H, wet1, wet2, dry_gain = freeverb_fft_plan(
+            sr, stereo, room_size=reverb_rm_size, damping=reverb_damping,
+            wet_level=reverb_wet, dry_level=reverb_dry,
+        )
+        try:
+            # block here: backend errors surface lazily and must trigger the
+            # unfused fallback below, not kill the cover at the next fetch
+            return jax.block_until_ready(_effects_chain_fused(
+                x, jnp.asarray(H), sr, wet1, wet2, dry_gain, stereo
+            ))
+        except Exception as e:  # pragma: no cover - backend-specific
+            _FFT_REVERB_BROKEN = True
+            print(f"[effects] fused fft effects chain failed on this backend "
+                  f"({e}); falling back to the scan reverb for this process")
     x = highpass_1st_order(x, sr)
     x = compressor(x, sr, threshold_db=-15.0, ratio=4.0)
     x = _reverb(

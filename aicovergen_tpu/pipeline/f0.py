@@ -128,6 +128,35 @@ WORLD_DIVERGENCE_NOTE = (
 )
 
 
+PM_DIVERGENCE_NOTE = (
+    "f0 method 'pm' is a normalized-autocorrelation tracker playing the "
+    "role of Praat to_pitch_ac, not a numerical port of parselmouth — "
+    "pitch tracks can differ from the reference. rmvpe (default) and "
+    "mangio-crepe are parity-tested alternatives."
+)
+
+
+def f0_divergence_warnings(method) -> list:
+    """Per-job warning list for serving surfaces (webui job results,
+    predict output): when the chosen f0 method (or any hybrid member) is a
+    role-equivalent rather than a parity-tested port, say so in the RESULT,
+    not only in a one-time process log (which a served user never sees)."""
+    if not method:
+        return []
+    if "hybrid" in method:
+        inner = method.split("hybrid")[1].replace("[", "").replace("]", "")
+        members = inner.split("+")
+    else:
+        members = [method]
+    out = []
+    for m in members:
+        if m in ("harvest", "dio"):
+            out.append(WORLD_DIVERGENCE_NOTE.format(m=m))
+        elif m == "pm":
+            out.append(PM_DIVERGENCE_NOTE)
+    return out
+
+
 def _warn_world_divergence(method: str) -> None:
     """One-time process log of WORLD_DIVERGENCE_NOTE; serving surfaces
     (webui/predict) additionally attach the note to each job result so a

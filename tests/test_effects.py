@@ -186,6 +186,7 @@ def test_overlap_save_matches_direct_convolution():
         assert np.max(np.abs(y - ref)) / scale < 1e-5, (T, L)
 
 
+@pytest.mark.slow
 def test_fft_freeverb_production_length():
     """The default reverb path at the 120 s length class — the exact shape
     class that crashed the round-2 bench on TPU (whole-song 2^23 FFT).  The

@@ -107,3 +107,17 @@ def test_harvest_degenerate_inputs():
     t = np.arange(SR // 2) / SR
     f0 = harvest_f0(np.sin(2 * np.pi * 200 * t), 200)
     assert f0.shape == (200,)
+
+
+def test_f0_divergence_warnings_surface():
+    """VERDICT r02 item 9: serving surfaces attach a divergence note to the
+    job result when a role-equivalent f0 method is selected."""
+    from aicovergen_tpu.pipeline.f0 import f0_divergence_warnings
+
+    assert f0_divergence_warnings("rmvpe") == []
+    assert f0_divergence_warnings("mangio-crepe") == []
+    assert f0_divergence_warnings(None) == []
+    assert len(f0_divergence_warnings("harvest")) == 1
+    assert "harvest" in f0_divergence_warnings("harvest")[0]
+    assert len(f0_divergence_warnings("pm")) == 1
+    assert len(f0_divergence_warnings("hybrid[harvest+dio+rmvpe]")) == 2
