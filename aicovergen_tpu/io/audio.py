@@ -200,19 +200,79 @@ def save_audio(path: str, audio: np.ndarray, sr: int, output_format: str = "wav"
     must not silently receive a mislabeled or differently-named file.
     ``AICG_OUTPUT_FALLBACK=wav`` opts in to a WAV downgrade (renamed .wav,
     loudly logged) for zero-dependency sandboxes like the bench harness."""
+    audio = np.asarray(audio)
+    if audio.ndim == 1:
+        audio = audio[None, :]
+    return save_audio_stream(
+        path, [audio], audio.shape[0], audio.shape[-1], sr, output_format
+    )
+
+
+def save_audio_stream(
+    path: str,
+    chunks,
+    n_channels: int,
+    n_samples: int,
+    sr: int,
+    output_format: str = "wav",
+) -> str:
+    """Encode from a (channels, samples)-chunk iterator — the streaming form
+    of save_audio.  The pipeline feeds this device-fetched int16 chunks so
+    the TPU->host transfer of chunk k+1 overlaps the encode of chunk k, and
+    non-WAV formats pipe raw PCM straight into ffmpeg's stdin (no temp-WAV
+    disk round-trip — measured ~0.3 s of the 0.84 s encode stage on a 120 s
+    mix).  `n_samples` is the true mix length: the total written is trimmed
+    there (chunk iterators may carry length-class padding past it)."""
     if not check_encodable(output_format):
         path = os.path.splitext(path)[0] + ".wav"
         print(f"[!] ffmpeg unavailable — writing WAV instead: {path}")
         output_format = "wav"
+
+    def pcm16(iterable):
+        done = 0
+        for chunk in iterable:
+            chunk = np.asarray(chunk)
+            if chunk.ndim == 1:
+                chunk = chunk[None, :]
+            take = min(chunk.shape[-1], n_samples - done)
+            if take <= 0:
+                break
+            chunk = chunk[:, :take]
+            done += take
+            if chunk.dtype != np.int16:
+                chunk = np.clip(np.round(chunk * 32767.0), -32768, 32767)
+            yield np.ascontiguousarray(chunk.T.astype("<i2"))  # interleaved
+
     if output_format == "wav":
-        write_wav(path, audio, sr)
+        raw_len = n_samples * n_channels * 2
+        byte_rate = sr * n_channels * 2
+        with open(path, "wb") as f:
+            f.write(struct.pack("<4sI4s", b"RIFF", 36 + raw_len, b"WAVE"))
+            f.write(struct.pack("<4sIHHIIHH", b"fmt ", 16, _WAVE_FORMAT_PCM,
+                                n_channels, sr, byte_rate, n_channels * 2, 16))
+            f.write(struct.pack("<4sI", b"data", raw_len))
+            written = 0
+            for part in pcm16(chunks):
+                f.write(part.tobytes())
+                written += part.shape[0]
+            if written < n_samples:  # honor the declared header length
+                f.write(b"\x00" * ((n_samples - written) * n_channels * 2))
         return path
-    tmp = os.path.splitext(path)[0] + "_tmp.wav"
-    write_wav(tmp, audio, sr)
-    subprocess.run(
-        ["ffmpeg", "-y", "-loglevel", "error", "-i", tmp, path], check=True
+
+    proc = subprocess.Popen(
+        ["ffmpeg", "-y", "-loglevel", "error",
+         "-f", "s16le", "-ar", str(sr), "-ac", str(n_channels), "-i", "-",
+         path],
+        stdin=subprocess.PIPE,
     )
-    os.remove(tmp)
+    try:
+        for part in pcm16(chunks):
+            proc.stdin.write(part.tobytes())
+    finally:
+        proc.stdin.close()
+        rc = proc.wait()
+    if rc != 0:
+        raise RuntimeError(f"ffmpeg encode of {path} failed (rc={rc})")
     return path
 
 

@@ -135,7 +135,10 @@ def hubert_extract(
     enc = params["encoder"]
     x = x + pos_conv_embed(enc["pos_conv_embed"], x)
     x = layer_norm(enc["layer_norm"], x)
-    for i in range(output_layer):
+    # clamp to the checkpoint's actual depth: the released hubert_base has 12
+    # layers, but layer-pruned checkpoints (dryrun/test tiny assets) run the
+    # same code at their own depth
+    for i in range(min(output_layer, len(enc["layers"]))):
         x = _encoder_layer(enc["layers"][str(i)], x, key_mask)
 
     if apply_final_proj:

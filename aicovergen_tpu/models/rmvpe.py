@@ -51,7 +51,11 @@ def _conv_block_res(p, x):
 
 
 def _res_encoder_block(p, x, pool: bool):
-    for i in range(N_BLOCKS):
+    # block/layer counts are read from the parameter tree, not the module
+    # constants: the released checkpoint is E2E(4, 1, (2,2)) (the constants
+    # above), but smaller consistent checkpoints (the dryrun/test tier's
+    # tiny assets) run the same code
+    for i in range(len(p["conv"])):
         x = _conv_block_res(p["conv"][str(i)], x)
     if pool:
         return x, avg_pool2d(x, (2, 2))
@@ -66,7 +70,7 @@ def _res_decoder_block(p, x, skip):
         x = batch_norm(p["conv1"]["1"], x)
     x = jax.nn.relu(x)
     x = jnp.concatenate([x, skip], axis=1)
-    for i in range(N_BLOCKS):
+    for i in range(len(p["conv2"])):
         x = _conv_block_res(p["conv2"][str(i)], x)
     return x
 
@@ -80,12 +84,12 @@ def deep_unet(p, x):
     else:
         x = batch_norm(bn, x)
     skips = []
-    for i in range(EN_DE_LAYERS):
+    for i in range(len(p["encoder"]["layers"])):
         skip, x = _res_encoder_block(p["encoder"]["layers"][str(i)], x, pool=True)
         skips.append(skip)
-    for i in range(INTER_LAYERS):
+    for i in range(len(p["intermediate"]["layers"])):
         x = _res_encoder_block(p["intermediate"]["layers"][str(i)], x, pool=False)
-    for i in range(EN_DE_LAYERS):
+    for i in range(len(p["decoder"]["layers"])):
         x = _res_decoder_block(p["decoder"]["layers"][str(i)], x, skips[-1 - i])
     return x
 

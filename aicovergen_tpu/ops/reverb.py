@@ -281,15 +281,22 @@ def freeverb_fft_plan(
     width: float = 1.0,
 ):
     """Host-side plan for the partitioned freeverb: the reference parameter
-    mapping (pedalboard Reverb semantics) plus the partitioned filter bank.
-    Returns (H_bank float32 np, wet1, wet2, dry_gain)."""
+    mapping (pedalboard Reverb semantics) plus the partitioned filter bank,
+    already device-resident (cached: the same reverb settings across covers
+    re-upload nothing — the bank is a few MB, ~30 ms per cover over a
+    remote-TPU tunnel).  Returns (H_bank device f32, wet1, wet2, dry_gain)."""
     feedback = room_size * 0.28 + 0.7
     damp = damping * 0.4
     wet = wet_level * 3.0
     wet1 = wet * 0.5 * (1.0 + width)
     wet2 = wet * 0.5 * (1.0 - width)
-    H = _freeverb_partitions(sr, round(feedback, 9), round(damp, 9), stereo)
+    H = _freeverb_bank_device(sr, round(feedback, 9), round(damp, 9), stereo)
     return H, float(wet1), float(wet2), float(dry_level * 2.0)
+
+
+@functools.lru_cache(maxsize=16)
+def _freeverb_bank_device(sr: int, feedback: float, damp: float, stereo: bool):
+    return jnp.asarray(_freeverb_partitions(sr, feedback, damp, stereo))
 
 
 def freeverb_fft(

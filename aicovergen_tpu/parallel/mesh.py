@@ -89,4 +89,7 @@ def make_chunk_sharder(mesh: Optional[Mesh]):
     def shard(x):
         return jax.device_put(x, batch_sharding(mesh, x.ndim))
 
+    # consumers that need a mesh-aware program (pipeline.vc._assemble_sharded)
+    # recover the mesh from the hook instead of widening every signature
+    shard.mesh = mesh
     return shard

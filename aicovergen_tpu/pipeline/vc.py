@@ -24,7 +24,7 @@ from __future__ import annotations
 import math
 import os
 from dataclasses import dataclass
-from functools import partial
+from functools import lru_cache, partial
 from typing import List, Optional, Tuple
 
 import jax
@@ -91,15 +91,62 @@ def _assemble_output(audio, keep, starts, out_len: int, trim: int):
     bucketed static output length: segment lengths depend on the energy-
     minimum split points, i.e. on song CONTENT, so shape-carrying host-side
     slices would remote-compile fresh programs for every song (~4 s/cover
-    measured on the session backend)."""
+    measured on the session backend).
+
+    The row loop is a lax.scan, not a Python loop: an unrolled loop of
+    row-count dynamic slices compiles fine single-device but sent the SPMD
+    partitioner quadratic under a device mesh (463 s to compile the 8-device
+    variant of the 6 s dryrun cover vs 1.1 s unsharded; scan compiles the
+    body once).  Sharded runs use `_assemble_sharded` instead — scanning a
+    row-SHARDED axis forces a collective per step."""
+    return _assemble_core(audio, keep, starts, out_len, trim)
+
+
+def _assemble_core(audio, keep, starts, out_len: int, trim: int, init=None):
     j = jnp.arange(out_len)
-    out = jnp.zeros((out_len,), audio.dtype)
-    for i in range(audio.shape[0]):  # static, small row count
-        row = jnp.pad(audio[i], (out_len, out_len))
-        shifted = jax.lax.dynamic_slice(row, (out_len + trim - starts[i],), (out_len,))
-        mask = (j >= starts[i]) & (j < starts[i] + keep[i])
-        out = out + jnp.where(mask, shifted, 0)
+
+    def body(acc, row_keep_start):
+        row, k, s = row_keep_start
+        rowp = jnp.pad(row, (out_len, out_len))
+        shifted = jax.lax.dynamic_slice(rowp, (out_len + trim - s,), (out_len,))
+        return acc + jnp.where((j >= s) & (j < s + k), shifted, 0), None
+
+    if init is None:
+        init = jnp.zeros((out_len,), audio.dtype)
+    out, _ = jax.lax.scan(body, init, (audio, keep, starts))
     return out
+
+
+@lru_cache(maxsize=32)
+def _assemble_sharded(mesh, out_len: int, trim: int):
+    """Mesh variant of _assemble_output: every device scan-assembles its OWN
+    synth rows into a local (out_len,) partial track (segments don't overlap,
+    so row contributions just add), then ONE psum over the "data" axis merges
+    them — local elementwise work + a single out_len-float collective on the
+    ICI, instead of the per-scan-step reshard the partitioner emits when one
+    device scans a row-sharded array."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    def local(audio, keep, starts):
+        # the scan carry must be typed as VARYING over "data" (each shard
+        # accumulates different rows); a plain zeros init is unvarying and
+        # shard_map rejects the carry-type mismatch
+        init = jax.lax.pcast(
+            jnp.zeros((out_len,), audio.dtype), ("data",), to="varying"
+        )
+        return jax.lax.psum(
+            _assemble_core(audio, keep, starts, out_len, trim, init=init), "data"
+        )
+
+    return jax.jit(
+        shard_map(
+            local,
+            mesh=mesh,
+            in_specs=(P("data", None), P("data"), P("data")),
+            out_specs=P(),
+        )
+    )
 
 
 @partial(jax.jit, static_argnames=("version",))
@@ -375,7 +422,13 @@ class VoiceConverter:
         # 32 s class until the host boundary
         with metrics.stage("vc/assemble"):
             out_len = int(math.ceil(max(total, 1) / (self.tgt_sr * len_bucket_s()))) * self.tgt_sr * len_bucket_s()
-            out = _assemble_output(audio, keep_j, out_starts_j, out_len, trim)
+            mesh = getattr(self.shard, "mesh", None) if self.shard is not None else None
+            if mesh is not None:
+                out = _assemble_sharded(mesh, out_len, trim)(
+                    audio, keep_j, out_starts_j
+                )
+            else:
+                out = _assemble_output(audio, keep_j, out_starts_j, out_len, trim)
             stage_sync(out)
         return out, total
 

@@ -58,7 +58,11 @@ def _build_assets() -> str:
 
     store = AssetStore(BENCH_ASSETS)
     tiny = os.environ.get("AICG_BENCH_MDX_SCALE") == "tiny"  # CPU smoke mode
-    stamp = os.path.join(BENCH_ASSETS, ".complete_v3_tiny" if tiny else ".complete_v3")
+    tiny_vc = os.environ.get("AICG_BENCH_VC_SCALE") == "tiny"
+    stamp = os.path.join(
+        BENCH_ASSETS,
+        ".complete_v3" + ("_tiny" if tiny else "") + ("_tinyvc" if tiny_vc else ""),
+    )
     if os.path.exists(stamp):
         return BENCH_ASSETS
     shutil.rmtree(BENCH_ASSETS, ignore_errors=True)
@@ -101,27 +105,55 @@ def _build_assets() -> str:
 
     import torch
 
-    synth = _load_flat(os.path.join(FIXTURES, "rvc_synth_v2f0.npz"))
-    cpt = {
-        "config": [1025, 32, 192, 192, 768, 2, 6, 3, 0, "1",
-                   [3, 7, 11], [[1, 3, 5], [1, 3, 5], [1, 3, 5]],
-                   [10, 10, 2, 2], 512, [16, 16, 4, 4], 109, 256, 40000],
-        "weight": {k: torch.from_numpy(v) for k, v in synth.items()},
-        "f0": 1,
-        "version": "v2",
-    }
     voice_dir = os.path.join(store.rvc_models_dir, "BenchVoice")
     os.makedirs(voice_dir, exist_ok=True)
-    torch.save(cpt, os.path.join(voice_dir, "BenchVoice.pth"))
+    if tiny_vc:
+        # AICG_BENCH_VC_SCALE=tiny: architecture-faithful but layer/width-
+        # reduced voice stack for compile-bound CPU harnesses (the multichip
+        # dryrun, length-class tests).  Every CODE PATH is the production one
+        # (v2+f0 synthesizer, HuBERT v2 final-tap features, rmvpe mel->unet->
+        # gru->decode); only depths/widths shrink.  Perf numbers from this
+        # scale are meaningless — bench.py refuses it (see main()).
+        from aicovergen_tpu.models.rvc import RVCConfig
+        from aicovergen_tpu.models.rvc_train import init_synthesizer_params
+        from aicovergen_tpu.train.checkpoint import save_rvc_pth
 
-    torch.save(
-        {k: torch.from_numpy(v) for k, v in _load_flat(os.path.join(FIXTURES, "hubert_base.npz")).items()},
-        store.hubert_path(),
-    )
-    torch.save(
-        {k: torch.from_numpy(v) for k, v in _load_flat(os.path.join(FIXTURES, "rmvpe_e2e.npz")).items()},
-        store.rmvpe_path(),
-    )
+        tiny_cfg = RVCConfig(
+            spec_channels=1025, segment_size=32, inter_channels=64,
+            hidden_channels=64, filter_channels=128, n_heads=2, n_layers=2,
+            kernel_size=3, p_dropout=0.0, resblock="1",
+            resblock_kernel_sizes=(3,), resblock_dilation_sizes=((1, 3, 5),),
+            upsample_rates=(10, 10, 2, 2), upsample_initial_channel=64,
+            upsample_kernel_sizes=(16, 16, 4, 4), spk_embed_dim=109,
+            gin_channels=64, sr=40000, version="v2", if_f0=True,
+        )
+        save_rvc_pth(
+            os.path.join(voice_dir, "BenchVoice.pth"),
+            init_synthesizer_params(tiny_cfg, seed=0), tiny_cfg,
+        )
+        hubert = {
+            k: v
+            for k, v in _load_flat(os.path.join(FIXTURES, "hubert_base.npz")).items()
+            if not (k.startswith("encoder.layers.")
+                    and int(k.split(".")[2]) >= 2)  # keep layers 0-1 of 12
+        }
+        rmvpe = _load_flat(os.path.join(FIXTURES, "rmvpe_tiny.npz"))
+    else:
+        synth = _load_flat(os.path.join(FIXTURES, "rvc_synth_v2f0.npz"))
+        cpt = {
+            "config": [1025, 32, 192, 192, 768, 2, 6, 3, 0, "1",
+                       [3, 7, 11], [[1, 3, 5], [1, 3, 5], [1, 3, 5]],
+                       [10, 10, 2, 2], 512, [16, 16, 4, 4], 109, 256, 40000],
+            "weight": {k: torch.from_numpy(v) for k, v in synth.items()},
+            "f0": 1,
+            "version": "v2",
+        }
+        torch.save(cpt, os.path.join(voice_dir, "BenchVoice.pth"))
+        hubert = _load_flat(os.path.join(FIXTURES, "hubert_base.npz"))
+        rmvpe = _load_flat(os.path.join(FIXTURES, "rmvpe_e2e.npz"))
+
+    torch.save({k: torch.from_numpy(v) for k, v in hubert.items()}, store.hubert_path())
+    torch.save({k: torch.from_numpy(v) for k, v in rmvpe.items()}, store.rmvpe_path())
     with open(stamp, "w") as f:
         f.write("ok")
     return BENCH_ASSETS
@@ -463,6 +495,13 @@ def main() -> int:
             import jax.extend.backend
 
             jax.extend.backend.clear_backends()
+
+    if os.environ.get("AICG_BENCH_VC_SCALE") == "tiny":
+        # tiny-vc assets exist for compile-bound CPU harnesses (dryrun,
+        # length-class tests); a perf number from them would be fiction
+        print("AICG_BENCH_VC_SCALE=tiny is a test/dryrun scale, not a bench "
+              "configuration — unset it to benchmark", file=sys.stderr)
+        return 2
 
     mode = os.environ.get("AICG_BENCH", "cover")
     reps = int(os.environ.get("AICG_BENCH_REPS", 1))

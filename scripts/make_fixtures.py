@@ -177,6 +177,45 @@ def make_rmvpe():
     print("wrote rmvpe_decode.npz")
 
 
+def make_rmvpe_tiny():
+    """A small-but-consistent E2E checkpoint + golden output: the dryrun /
+    length-class test tier needs the full rmvpe CODE PATH (mel -> DeepUnet ->
+    BiGRU -> decode) without the released checkpoint's 90M-parameter compile
+    cost, and the depth-flexible loader (models/rmvpe.py reads layer counts
+    from the tree) needs its own parity proof."""
+    mel_stub = types.ModuleType("librosa")
+    filters_stub = types.ModuleType("librosa.filters")
+
+    def _mel(sr, n_fft, n_mels, fmin, fmax, htk=False):
+        from aicovergen_tpu.ops.mel import mel_filterbank
+
+        return mel_filterbank(sr, n_fft, n_mels, fmin, fmax, htk=htk)
+
+    filters_stub.mel = lambda *, sr, n_fft, n_mels, fmin, fmax, htk=False: _mel(
+        sr, n_fft, n_mels, fmin, fmax, htk
+    )
+    mel_stub.filters = filters_stub
+    sys.modules.setdefault("librosa", mel_stub)
+    sys.modules.setdefault("librosa.filters", filters_stub)
+
+    sys.path.insert(0, REF_SRC)
+    import importlib
+
+    rmvpe_mod = importlib.import_module("rmvpe")
+
+    torch.manual_seed(5)
+    model = rmvpe_mod.E2E(1, 1, (2, 2), en_de_layers=2, inter_layers=1,
+                          en_out_channels=8)
+    model.eval()
+    mel = torch.randn(1, 128, 64)
+    with torch.no_grad():
+        hidden = model(mel)
+    out = _state_to_npz_dict(model)
+    out.update(mel=mel.numpy(), hidden=hidden.numpy())
+    np.savez_compressed(os.path.join(OUT, "rmvpe_tiny.npz"), **out)
+    print("wrote rmvpe_tiny.npz  hidden:", hidden.shape)
+
+
 def make_crepe():
     """Golden CREPE forward + decode.  torchcrepe is not installed in this
     environment, so the goldens come from a torch twin built to torchcrepe's
@@ -275,7 +314,7 @@ def make_crepe():
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--only", default="rvc,hubert,rmvpe,crepe")
+    ap.add_argument("--only", default="rvc,hubert,rmvpe,rmvpe_tiny,crepe")
     args = ap.parse_args()
     wanted = set(args.only.split(","))
     if "rvc" in wanted:
@@ -284,6 +323,8 @@ def main():
         make_hubert()
     if "rmvpe" in wanted:
         make_rmvpe()
+    if "rmvpe_tiny" in wanted:
+        make_rmvpe_tiny()
     if "crepe" in wanted:
         make_crepe()
 

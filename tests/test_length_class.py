@@ -111,6 +111,7 @@ def test_full_cover_at_120s_song(tmp_path):
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sys.path.insert(0, repo)
     os.environ["AICG_BENCH_MDX_SCALE"] = "tiny"
+    os.environ["AICG_BENCH_VC_SCALE"] = "tiny"
     os.environ["AICG_TPU_BF16"] = "0"
     import bench
 

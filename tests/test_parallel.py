@@ -137,3 +137,19 @@ def test_sharded_vc_matches_single_device():
     np.testing.assert_allclose(
         out_sharded.astype(np.int32), out_single.astype(np.int32), atol=2
     )
+
+    # device-resident output path: exercises the shard_map assemble
+    # (_assemble_sharded — local scan per shard + one psum over "data"),
+    # which the host path above returns before reaching
+    dev_single, dsr1, n1 = single.convert(
+        audio, f0_method="pm", index_rate=0.0, output="device_int16"
+    )
+    dev_sharded, dsr2, n2 = sharded.convert(
+        audio, f0_method="pm", index_rate=0.0, output="device_int16"
+    )
+    assert (dsr1, n1) == (dsr2, n2)
+    np.testing.assert_allclose(
+        np.asarray(dev_sharded[:n2], np.int32),
+        np.asarray(dev_single[:n1], np.int32),
+        atol=2,
+    )

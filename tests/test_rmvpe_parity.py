@@ -68,3 +68,21 @@ def test_bn_folding_equivalence():
     out_raw = np.asarray(e2e_forward(raw, mel))
     out_folded = np.asarray(e2e_forward(folded, mel))
     np.testing.assert_allclose(out_folded, out_raw, rtol=1e-4, atol=1e-5)
+
+
+def test_e2e_tiny_parity():
+    """The depth-flexible loader (layer counts read from the tree, not the
+    module constants) against a reference E2E(1, 1, (2,2), en_de_layers=2,
+    inter_layers=1, en_out_channels=8) golden — the dryrun/test tier's tiny
+    checkpoint family must be exactly as trustworthy as the released shape."""
+    fx = load_fixture("rmvpe_tiny.npz")
+    flat = {
+        k[3:]: fx[k]
+        for k in fx.files
+        if k.startswith("sd:") and not k.endswith("num_batches_tracked")
+    }
+    out = e2e_forward(nest(flat), jnp.asarray(fx["mel"]))
+    ref = fx["hidden"]
+    ours = np.asarray(out)
+    assert ours.shape == ref.shape
+    np.testing.assert_allclose(ours, ref, rtol=1e-3, atol=2e-4)
