@@ -60,17 +60,29 @@ def _bucket_len(n: int, bucket: int) -> int:
     return max(1, -(-n // bucket)) * bucket
 
 
-def _prefetched_chunks(arr, n: int, step: int):
+def _prefetched_chunks(arr, n: int, step: int = 0):
     """Yield host int16 chunks of the device array `arr` (C, T>=n), fetching
     one chunk ahead on a worker thread so the tunnel transfer of chunk k+1
     overlaps whatever the consumer (the mp3 encoder) does with chunk k.
-    Slice bounds are multiples of `step`, so the slice programs are reused
-    across every song of a length class."""
+
+    step=0 (the default) fetches the WHOLE array as one chunk: the session
+    tunnel showed ~0.3 s of FIXED latency per device->host transfer
+    (microbenched: 5 MB chunk 0.40 s, 21 MB bulk 0.82 s), so splitting a
+    fetch multiplies latency faster than the overlap pays it back.  Set
+    AICG_ENCODE_CHUNK_S on low-latency directly-attached hosts, where
+    pipelining transfer under the mp3 encode is a straight win.  Slice
+    bounds are multiples of `step`, so the slice programs are reused across
+    every song of a length class."""
     import concurrent.futures as cf
 
     T = int(arr.shape[-1])
+    if step <= 0:
+        step = T
     bounds = [(a, min(a + step, T)) for a in range(0, T, step) if a < n]
     if not bounds:
+        return
+    if len(bounds) == 1:
+        yield np.asarray(arr)
         return
     with cf.ThreadPoolExecutor(1) as ex:
         def fetch(ab):
@@ -201,12 +213,14 @@ class CoverPipeline:
             self._mdx_cache[filename] = (model_fn, params)
             return model_fn, params
 
-    def _run_separation(self, wave: np.ndarray, model_file: str, denoise: bool = True):
+    def _run_separation(self, wave: np.ndarray, model_file: str, denoise: bool = True,
+                        device_out: bool = False):
         model_fn, params = self._load_mdx(model_file)
         primary, complement = separate(
             wave, model_fn, params,
             denoise=denoise, batch_size=self.mdx_batch_size, shard=self.shard,
             compute_dtype=self.runtime.compute_dtype if self.runtime.use_bf16 else None,
+            device_out=device_out,
         )
         # no per-stage gc.collect: the reference needed it to release CUDA
         # blocks (src/mdx.py:282-286); here device buffers free by refcount
@@ -236,15 +250,16 @@ class CoverPipeline:
         intermediates (Vocals, Vocals_Main — deleted at the end of the
         reference pipeline, main.py:304-311) are neither downloaded nor
         written."""
-        import jax.numpy as jnp
-
         metrics = metrics or Metrics()
-        with metrics.stage("separate/upload"):
-            orig_dev = jnp.asarray(orig.astype(np.float16)).astype(jnp.float32)
-            _sync(orig_dev)
         display_progress("[~] Separating Vocals from Instrumental...", 0.1, progress)
+        # no separate upload stage: the song crosses the boundary as per-batch
+        # f16 chunk uploads pipelined under the vocals net (separate.py
+        # device_out path) — the old whole-song transfer blocked ~0.4 s on a
+        # remote tunnel before any compute could start
         with metrics.stage("separate/vocals"):
-            vocals, instrumental = self._run_separation(orig_dev, "UVR-MDX-NET-Voc_FT.onnx")
+            vocals, instrumental = self._run_separation(
+                np.ascontiguousarray(orig), "UVR-MDX-NET-Voc_FT.onnx", device_out=True
+            )
             _sync(vocals)
         display_progress("[~] Separating Main Vocals from Backup Vocals...", 0.2, progress)
         with metrics.stage("separate/karaoke"):
@@ -587,9 +602,10 @@ class CoverPipeline:
                 cover_path = os.path.join(
                     song_dir, f"{base} ({voice_model} Ver).{output_format}"
                 )
+                chunk_s = float(os.environ.get("AICG_ENCODE_CHUNK_S", 0))
                 cover_path = save_audio_stream(
                     cover_path,
-                    _prefetched_chunks(q_mix, n_44, 30 * SR_MDX),
+                    _prefetched_chunks(q_mix, n_44, int(chunk_s * SR_MDX)),
                     int(q_mix.shape[0]),
                     n_44,
                     SR_MDX,

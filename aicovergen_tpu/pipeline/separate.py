@@ -234,10 +234,15 @@ def _build_chunk_runner(model_fn, params, batch_size, shard, compute_dtype):
             return run_batch_dn_w(weights, x) if denoise else run_batch_w(weights, x)
         return run_batch_dn_plain(x) if denoise else run_batch_plain(x)
 
-    def run(chunks, denoise: bool = False):
+    def run(chunks, denoise: bool = False, return_device: bool = False,
+            return_inputs: bool = False):
         """chunks: (C, 2, chunk) numpy (host path, f16 over the wire) or jnp
         (device-resident path: no boundary crossing at all).  Returns the
-        same kind it was given."""
+        same kind it was given, unless return_device forces jnp outputs for
+        a host input (the streamed-upload path: each batch's f16 upload is
+        dispatched asynchronously and rides under the previous batch's net
+        compute).  return_inputs additionally returns the uploaded input
+        chunks as a device array (for on-device wave reconstruction)."""
         on_device = isinstance(chunks, jnp.ndarray)
         xnp = jnp if on_device else np
         n = chunks.shape[0]
@@ -260,17 +265,25 @@ def _build_chunk_runner(model_fn, params, batch_size, shard, compute_dtype):
         # dispatch every batch first (jax async dispatch overlaps the
         # host<->device transfers and compute across batches), then gather
         pending = []
+        pending_in = []
         if not on_device:
             stream = stream.astype(transfer_dtype)
         for i in range(0, stream.shape[0], group):
             xb = jnp.asarray(stream[i : i + group])
             if shard is not None:
                 xb = shard(xb)
+            if return_inputs:
+                pending_in.append(xb)
             pending.append(run_batch(xb, denoise=denoise))
         out = jnp.concatenate(pending, axis=0)[:n]
-        if on_device:
-            return out.astype(jnp.float32)
-        return np.asarray(out, dtype=np.float32)
+        if on_device or return_device:
+            out = out.astype(jnp.float32)
+        else:
+            out = np.asarray(out, dtype=np.float32)
+        if return_inputs:
+            ins = jnp.concatenate(pending_in, axis=0)[:n].astype(jnp.float32)
+            return out, ins
+        return out
 
     return run
 
@@ -283,6 +296,7 @@ def separate(
     batch_size: int = 8,
     shard=None,
     compute_dtype=None,
+    device_out: bool = False,
 ):
     """Full separation of (2, n) float audio.
 
@@ -293,6 +307,15 @@ def separate(
     complement) on device and returns jnp stems — chained separations
     never cross the host boundary (the reference round-trips WAV files
     between its three stages).
+
+    A numpy input with device_out=True is the STREAMED-UPLOAD entry (the
+    cover pipeline's first stage): the song crosses the boundary as per-batch
+    f16 chunk uploads that overlap the previous batch's net compute instead
+    of one blocking whole-song transfer (~0.4 s serial on a remote-TPU
+    tunnel for a 120 s song), and the wave itself is reconstructed ON DEVICE
+    from the uploaded chunk bodies for the complement — the chunk tiling is
+    exact, so the reconstruction is bit-identical to the uploaded samples.
+    Returns device stems like the jnp path.
     """
     if isinstance(wave, jnp.ndarray):
         wave = wave.astype(jnp.float32)
@@ -305,6 +328,14 @@ def separate(
     runner = make_chunk_runner(
         model_fn, params, batch_size=batch_size, shard=shard, compute_dtype=compute_dtype
     )
+    if device_out and not isinstance(wave, jnp.ndarray):
+        out_chunks, in_chunks = runner(
+            chunks, denoise=denoise, return_device=True, return_inputs=True
+        )
+        primary = join_chunks(out_chunks, params, wave.shape[1]) * peak
+        wave_dev = join_chunks(in_chunks, params, wave.shape[1]) * peak
+        complement = -primary * params.compensation + wave_dev
+        return primary, complement
     out_chunks = runner(chunks, denoise=denoise)
     primary = join_chunks(out_chunks, params, wave.shape[1]) * peak
     complement = -primary * params.compensation + wave

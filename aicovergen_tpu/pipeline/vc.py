@@ -485,7 +485,10 @@ class VoiceConverter:
                 jnp.pad(audio_dev, (0, (-n_true) % (SR * len_bucket_s()))),
             )
             audio_trim = hpf_b[:n_true]
-            audio = np.asarray(audio_trim, np.float64)  # one download
+            # one download, f32 over the wire (the device value IS f32 — an
+            # f64 fetch doubles the bytes for zero extra information; the
+            # host search upcasts so its cumsum accumulates in f64 as before)
+            audio = np.asarray(audio_trim).astype(np.float64)
             opt_ts = find_split_points(audio, rt)
 
             audio_pad = jnp.pad(audio_trim, (t_pad, t_pad), mode="reflect")

@@ -207,6 +207,15 @@ def test_separate_device_path_matches_host_path(tmp_path):
     np.testing.assert_allclose(np.asarray(p_dev), p_host, atol=1e-5)
     np.testing.assert_allclose(np.asarray(c_dev), c_host, atol=1e-5)
 
+    # streamed-upload entry (cover stage 1): host input, device stems, wave
+    # reconstructed on device from the uploaded chunk bodies
+    p_st, c_st = separate(
+        wave, model_fn, params, denoise=True, batch_size=4, device_out=True
+    )
+    assert isinstance(p_st, jnp.ndarray) and isinstance(c_st, jnp.ndarray)
+    np.testing.assert_allclose(np.asarray(p_st), p_host, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(c_st), c_host, atol=1e-5)
+
 
 def _attr_f(name, v):
     from aicovergen_tpu.convert.onnx_proto import ATTR_FLOAT, OnnxAttr
