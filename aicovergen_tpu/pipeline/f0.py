@@ -129,10 +129,11 @@ WORLD_DIVERGENCE_NOTE = (
 
 
 PM_DIVERGENCE_NOTE = (
-    "f0 method 'pm' is a normalized-autocorrelation tracker playing the "
-    "role of Praat to_pitch_ac, not a numerical port of parselmouth — "
-    "pitch tracks can differ from the reference. rmvpe (default) and "
-    "mangio-crepe are parity-tested alternatives."
+    "f0 method 'pm' implements Boersma's published to_pitch_ac algorithm "
+    "(window-compensated ACF, octave-cost candidates, Viterbi path), not a "
+    "numerical port of parselmouth — pitch tracks can differ slightly from "
+    "the reference. rmvpe (default) and mangio-crepe are parity-tested "
+    "alternatives."
 )
 
 
@@ -297,7 +298,15 @@ class F0Estimator:
         if isinstance(x, jnp.ndarray):
             x = np.asarray(x, np.float64)
         if method == "pm":
-            return autocorr_f0(x, p_len)
+            # Boersma's AC algorithm (pipeline/praat_ac.py) with the
+            # reference's call parameters: to_pitch_ac(time_step=0.01,
+            # voicing_threshold=0.6, floor/ceiling = F0_MIN/F0_MAX)
+            # (reference vc_infer_pipeline.py:279-294)
+            from .praat_ac import praat_ac_f0
+
+            return praat_ac_f0(
+                x, p_len, voicing_threshold=0.6, fmin=F0_MIN, fmax=F0_MAX
+            )
         if method == "harvest":
             # WORLD-paper Harvest (pipeline/harvest.py) + StoneMask-style
             # refinement, medfilt gated on filter_radius — the reference's
