@@ -125,7 +125,7 @@ def _assemble_sharded(mesh, out_len: int, trim: int):
     them — local elementwise work + a single out_len-float collective on the
     ICI, instead of the per-scan-step reshard the partitioner emits when one
     device scans a row-sharded array."""
-    from jax.experimental.shard_map import shard_map
+    from jax import shard_map
     from jax.sharding import PartitionSpec as P
 
     def local(audio, keep, starts):
