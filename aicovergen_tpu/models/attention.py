@@ -245,13 +245,31 @@ def ffn(p, x, x_mask, kernel_size: int):
 
 
 def encoder(p, x, x_mask, n_heads: int, n_layers: int, kernel_size: int, window_size: int = 10):
-    """reference attentions.py Encoder.forward (:61-73) on (B, D, T)."""
+    """reference attentions.py Encoder.forward (:61-73) on (B, D, T).
+
+    The n_layers identical layers run as one lax.scan over stacked
+    per-layer params (identical numerics, layer body appears ONCE in the
+    HLO) — unrolling them bloats the compiled executable, which costs both
+    compile time and the per-process executable load on a remote backend."""
     attn_mask = x_mask  # (B, 1, T); layers form the (T, T) pair mask lazily
     x = x * x_mask
-    for i in range(n_layers):
-        si = str(i)
-        y = multi_head_attention(p["attn_layers"][si], x, attn_mask, n_heads, window_size)
-        x = layer_norm(p["norm_layers_1"][si], x + y, axis=1)
-        y = ffn(p["ffn_layers"][si], x, x_mask, kernel_size)
-        x = layer_norm(p["norm_layers_2"][si], x + y, axis=1)
+    layer_list = [
+        {
+            "attn": p["attn_layers"][str(i)],
+            "n1": p["norm_layers_1"][str(i)],
+            "ffn": p["ffn_layers"][str(i)],
+            "n2": p["norm_layers_2"][str(i)],
+        }
+        for i in range(n_layers)
+    ]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layer_list)
+
+    def body(h, lp):
+        y = multi_head_attention(lp["attn"], h, attn_mask, n_heads, window_size)
+        h = layer_norm(lp["n1"], h + y, axis=1)
+        y = ffn(lp["ffn"], h, x_mask, kernel_size)
+        h = layer_norm(lp["n2"], h + y, axis=1)
+        return h, None
+
+    x, _ = jax.lax.scan(body, x, stacked)
     return x * x_mask

@@ -50,13 +50,31 @@ def _conv_block_res(p, x):
     return h + x
 
 
+def _conv_block_chain(blocks, x):
+    """Apply ConvBlockRes blocks 0..n-1.  Block 0 (the only one whose
+    channel count can change, hence the only one with a shortcut) runs
+    unrolled; blocks 1.. are shape-identical and run as ONE lax.scan over
+    stacked params — the block body appears once in the HLO instead of
+    n_blocks x levels times, keeping the compiled E2E executable small for
+    remote compile/load (see models/hubert.py for the rationale).
+    Block/layer counts are read from the parameter tree, not the module
+    constants, so reduced checkpoints (the dryrun/test tier's tiny assets)
+    run the same code."""
+    n = len(blocks)
+    x = _conv_block_res(blocks["0"], x)
+    rest = [blocks[str(i)] for i in range(1, n)]
+    if rest:
+        stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *rest)
+
+        def body(h, lp):
+            return _conv_block_res(lp, h), None
+
+        x, _ = jax.lax.scan(body, x, stacked)
+    return x
+
+
 def _res_encoder_block(p, x, pool: bool):
-    # block/layer counts are read from the parameter tree, not the module
-    # constants: the released checkpoint is E2E(4, 1, (2,2)) (the constants
-    # above), but smaller consistent checkpoints (the dryrun/test tier's
-    # tiny assets) run the same code
-    for i in range(len(p["conv"])):
-        x = _conv_block_res(p["conv"][str(i)], x)
+    x = _conv_block_chain(p["conv"], x)
     if pool:
         return x, avg_pool2d(x, (2, 2))
     return x
@@ -70,8 +88,7 @@ def _res_decoder_block(p, x, skip):
         x = batch_norm(p["conv1"]["1"], x)
     x = jax.nn.relu(x)
     x = jnp.concatenate([x, skip], axis=1)
-    for i in range(len(p["conv2"])):
-        x = _conv_block_res(p["conv2"][str(i)], x)
+    x = _conv_block_chain(p["conv2"], x)
     return x
 
 

@@ -163,10 +163,20 @@ def coupling_layer_reverse(p, x, x_mask, g, hidden: int):
 
 def flow_reverse(p, x, x_mask, g, cfg: RVCConfig, n_flows: int = 4):
     """ResidualCouplingBlock reverse (reference models.py:146-153): the flows
-    list interleaves couplings (even indices, with params) and Flips."""
-    for i in reversed(range(n_flows)):
-        x = jnp.flip(x, axis=1)  # Flip (reverse order: flip precedes coupling)
-        x = coupling_layer_reverse(p["flows"][str(2 * i)], x, x_mask, g, cfg.hidden_channels)
+    list interleaves couplings (even indices, with params) and Flips.
+
+    The identically-shaped couplings run as one lax.scan over stacked
+    params (reverse order baked into the stack): same numerics, coupling
+    body once in the HLO — part of keeping the synth executable small for
+    remote compile/load (see models/hubert.py for the rationale)."""
+    layer_list = [p["flows"][str(2 * i)] for i in reversed(range(n_flows))]
+    stacked = jax.tree.map(lambda *xs: jnp.stack(xs), *layer_list)
+
+    def body(h, lp):
+        h = jnp.flip(h, axis=1)  # Flip (reverse order: flip precedes coupling)
+        return coupling_layer_reverse(lp, h, x_mask, g, cfg.hidden_channels), None
+
+    x, _ = jax.lax.scan(body, x, stacked)
     return x
 
 

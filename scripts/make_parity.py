@@ -381,6 +381,8 @@ def main():
     ap.add_argument("--index-rate", type=float, default=0.5)
     ap.add_argument("--rms-mix-rate", type=float, default=0.25)
     ap.add_argument("--protect", type=float, default=0.33)
+    ap.add_argument("--out", default="PARITY_r02.json",
+                    help="report filename (repo-relative)")
     ap.add_argument("--skip-reference", action="store_true",
                     help="reuse the reference output cached in the fixture")
     args = ap.parse_args()
@@ -465,7 +467,7 @@ def main():
         ),
     }
     print(json.dumps(report, indent=2))
-    with open(os.path.join(REPO, "PARITY_r02.json"), "w") as f:
+    with open(os.path.join(REPO, args.out), "w") as f:
         json.dump(report, f, indent=2)
 
     if not (args.skip_reference and os.path.exists(fixture_path)):
