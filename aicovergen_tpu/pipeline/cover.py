@@ -16,6 +16,7 @@ preserve the cache/inspection contract, but never re-read within a run.
 
 from __future__ import annotations
 
+import contextlib
 import os
 import threading
 from dataclasses import dataclass, field
@@ -172,6 +173,21 @@ class CoverPipeline:
         self._mdx_lock = threading.Lock()
         self._vc_cache = {}
         self._vc_lock = threading.Lock()
+        # Device admission gate for concurrent serving (AICG_DEVICE_GATE,
+        # default on): each cover's device-heavy section (separation -> VC ->
+        # effects -> mix fetch) runs under this lock, so N worker threads
+        # overlap only their HOST stages (ffmpeg decode/encode, cache-file
+        # writes) with another cover's device section.  Ungated, every
+        # worker's blocking fetch convoys behind the other workers' queued
+        # programs, and on a high-latency tunnel the interleaved round trips
+        # collapsed aggregate throughput to HALF the serial rate
+        # (BENCH_r03: 7.87x agg vs 16.35x serial); gated, throughput is
+        # device-section-bound and can never lose to serial.
+        self._device_gate = (
+            threading.Lock()
+            if os.environ.get("AICG_DEVICE_GATE", "1") == "1"
+            else contextlib.nullcontext()
+        )
 
     def _get_voice_converter(self, voice_model: str):
         """VoiceConverters are read-only after construction; cache them so
@@ -446,14 +462,20 @@ class CoverPipeline:
 
         # the writer overlaps cache-file downloads/writes with device compute;
         # the context join surfaces writer errors and guarantees every cache
-        # file exists before this returns (or gets cleaned up below)
-        with AsyncWriter() as writer:
+        # file exists before this returns (or gets cleaned up below).
+        # `gate` holds the device admission lock across the device-heavy
+        # section (separation -> VC -> effects -> mix fetch) and releases it
+        # before the host-side encode, so concurrent serving workers overlap
+        # host I/O with each other's device sections but never interleave
+        # device round trips (see __post_init__).
+        with AsyncWriter() as writer, contextlib.ExitStack() as gate:
             if cached and not keep_files:
                 from ..io.audio import read_wav
 
                 instrumental, _ = read_wav(stem_path("Instrumental"))
                 dereverb, _ = read_wav(stem_path("Vocals_Main_DeReverb"))
                 backup, _ = read_wav(stem_path("Vocals_Backup"))
+                gate.enter_context(self._device_gate)
             else:
                 with metrics.stage("decode"):
                     wave, sr = load_audio(song_path, sr=None, mono=False)
@@ -463,6 +485,7 @@ class CoverPipeline:
                     writer.submit(
                         write_wav, os.path.join(song_dir, f"{base}.wav"), orig, SR_MDX
                     )
+                gate.enter_context(self._device_gate)
                 stems = self.separate_song(
                     song_dir, base, orig, progress,
                     metrics=metrics, keep_files=keep_files, writer=writer,
@@ -589,23 +612,32 @@ class CoverPipeline:
                 )
                 q_mix = quantize_int16(mix)
                 _sync(q_mix)
-            # streamed fetch+encode: the device mix is pulled over the tunnel
-            # in fixed ~30 s chunks (static slice bounds — the handful of tiny
-            # slice programs is shared across songs of a length class) with a
-            # one-ahead prefetch thread, so chunk k+1's TPU->host transfer
-            # rides under the ffmpeg encode of chunk k, and the PCM goes
-            # straight into ffmpeg stdin (io.audio.save_audio_stream).
-            # r01 cost of fetch-then-encode was 0.36 s + 0.84 s serial.
-            with metrics.stage("mixdown/encode"):
-                from ..io.audio import save_audio_stream
+            # Fetch then encode.  Default: ONE bulk device->host transfer of
+            # the int16 mix INSIDE the device gate (the transfer is device
+            # work; a concurrent worker's dispatches must not interleave with
+            # it), gate released, then the ffmpeg/WAV encode runs host-side
+            # where other workers' device sections overlap it.
+            # AICG_ENCODE_CHUNK_S opts into the chunk-streamed fetch for
+            # PCIe-latency hosts: fixed ~30 s slices with a one-ahead
+            # prefetch thread so chunk k+1's transfer rides under the encode
+            # of chunk k (static slice bounds — the handful of tiny slice
+            # programs is shared across songs of a length class).
+            from ..io.audio import save_audio_stream
 
+            chunk_s = float(os.environ.get("AICG_ENCODE_CHUNK_S", 0))
+            if chunk_s <= 0:
+                with metrics.stage("mixdown/fetch"):
+                    mix_chunks = iter([np.asarray(q_mix)])
+                gate.close()  # host-only from here; let the next cover in
+            else:
+                mix_chunks = _prefetched_chunks(q_mix, n_44, int(chunk_s * SR_MDX))
+            with metrics.stage("mixdown/encode"):
                 cover_path = os.path.join(
                     song_dir, f"{base} ({voice_model} Ver).{output_format}"
                 )
-                chunk_s = float(os.environ.get("AICG_ENCODE_CHUNK_S", 0))
                 cover_path = save_audio_stream(
                     cover_path,
-                    _prefetched_chunks(q_mix, n_44, int(chunk_s * SR_MDX)),
+                    mix_chunks,
                     int(q_mix.shape[0]),
                     n_44,
                     SR_MDX,

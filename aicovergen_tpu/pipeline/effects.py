@@ -50,7 +50,7 @@ def add_audio_effects_device(
     reverb_damping: float = 0.7,
 ) -> jnp.ndarray:
     """(C, T) device float -> processed (C, T), fully in HBM."""
-    global _FFT_REVERB_BROKEN
+    global _FFT_REVERB_BROKEN, _FFT_CHAIN_PROVEN
     x = audio.astype(jnp.float32)
     if os.environ.get("AICG_REVERB", "fft") == "fft" and not _FFT_REVERB_BROKEN:
         from ..ops.reverb import freeverb_fft_plan
@@ -61,11 +61,17 @@ def add_audio_effects_device(
             wet_level=reverb_wet, dry_level=reverb_dry,
         )
         try:
-            # block here: backend errors surface lazily and must trigger the
-            # unfused fallback below, not kill the cover at the next fetch
-            return jax.block_until_ready(_effects_chain_fused(
+            out = _effects_chain_fused(
                 x, jnp.asarray(H), sr, wet1, wet2, dry_gain, stereo
-            ))
+            )
+            # block on the FIRST chain only: backend errors surface lazily
+            # and must trigger the unfused fallback below, not kill the
+            # cover at the next fetch.  Once proven, dispatch async so the
+            # chain pipelines with the mixdown stages.
+            if not _FFT_CHAIN_PROVEN:
+                out = jax.block_until_ready(out)
+                _FFT_CHAIN_PROVEN = True
+            return out
         except Exception as e:  # pragma: no cover - backend-specific
             _FFT_REVERB_BROKEN = True
             print(f"[effects] fused fft effects chain failed on this backend "
@@ -102,6 +108,15 @@ def add_audio_effects(
 # latched True after the fft path dies on this backend so every later cover
 # in the process skips straight to the scan fallback
 _FFT_REVERB_BROKEN = False
+
+# latched True after the fused fft chain SUCCEEDS once on this backend:
+# later covers skip the defensive block_until_ready, so the effects stage
+# dispatches asynchronously and pipelines with the mixdown/encode stages
+# (the block existed only to route backend errors into the scan fallback —
+# once one full-size chain has executed, the program is known-good and a
+# sync would serialize ~0.3 s of host round-trip per cover on a remote
+# tunnel for nothing)
+_FFT_CHAIN_PROVEN = False
 
 
 def _reverb(x, sr: int, **kwargs):

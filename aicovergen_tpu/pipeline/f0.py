@@ -270,6 +270,21 @@ class F0Estimator:
         f0[pd < 0.1] = 0
         return _fit_length(f0, p_len)
 
+    def compute_device(self, x, method: str):
+        """Device-resident raw f0 for device-side methods (rmvpe): returns
+        the UNFITTED device f0 track (frames of the bucketed input) so the
+        caller can pack its download with other device fetches into one
+        round trip (pipeline/vc.py packs it with the split-search windows).
+        Returns None when the method runs on host — callers fall back to
+        :meth:`compute`.  ``_fit_length(np.asarray(out), p_len)`` reproduces
+        compute()'s rmvpe result exactly."""
+        if method != "rmvpe" or not isinstance(x, jnp.ndarray):
+            return None
+        xb = jnp.pad(
+            x.astype(jnp.float32), (0, (-x.shape[-1]) % (16000 * len_bucket_s()))
+        )
+        return self._get_rmvpe().infer(xb, thred=0.03)
+
     def compute(
         self,
         x: np.ndarray,
@@ -360,11 +375,19 @@ def get_f0(
     crepe_hop_length: int = 128,
     inp_f0: Optional[np.ndarray] = None,
     x_pad: int = 3,
+    raw_f0: Optional[np.ndarray] = None,
 ):
     """Full get_f0 contract (vc_infer_pipeline.py:262-370):
     estimate -> semitone shift -> optional external-f0 splice ->
-    (coarse 1..255, float Hz)."""
-    f0 = estimator.compute(x, p_len, method, filter_radius, crepe_hop_length)
+    (coarse 1..255, float Hz).
+
+    ``raw_f0``: a host copy of :meth:`F0Estimator.compute_device` output
+    (already downloaded, packed with other fetches by the caller) — skips
+    the estimator and applies the same fit/shift/splice post-processing."""
+    if raw_f0 is not None:
+        f0 = _fit_length(np.asarray(raw_f0, np.float64), p_len)
+    else:
+        f0 = estimator.compute(x, p_len, method, filter_radius, crepe_hop_length)
     f0 = f0 * pow(2, f0_up_key / 12)
     tf0 = SR // WINDOW
     if inp_f0 is not None:

@@ -64,6 +64,72 @@ def find_split_points(audio: np.ndarray, cfg: RuntimeConfig) -> List[int]:
     return opt_ts
 
 
+def _n_split_centers(n_true: int, cfg: RuntimeConfig) -> int:
+    """Number of split-point search centers find_split_points would visit."""
+    if n_true + WINDOW <= SR * cfg.x_max:
+        return 0
+    return max(0, (n_true - 1) // (SR * cfg.x_center))
+
+
+@partial(jax.jit, static_argnames=("n_centers", "t_center", "t_query"))
+def _split_windows_pack(hpf_b, f0_dev, n_centers: int, t_center: int, t_query: int):
+    """Gather the split-point search windows — samples
+    ``hpf[t - t_query - 80 : t + t_query + 80]`` around every center
+    ``t = (k+1)*t_center`` — and pack them with the raw device f0 track
+    (when given) into ONE flat f32 array, i.e. ONE device->host fetch.
+
+    Replaces the full-track f32 download the host split search used to
+    block on (VERDICT r03 item 3): for a 120 s song the fetch shrinks from
+    ~7.7 MB to ~1.3 MB per center-minute, and the f0 download stops being
+    its own host round trip (~0.3 s fixed latency each on the session
+    tunnel).  The host finishes the search exactly
+    (`_split_points_from_windows`)."""
+    half = WINDOW // 2
+    wlen = 2 * t_query + WINDOW
+    lo = (jnp.arange(n_centers, dtype=jnp.int32) + 1) * t_center - t_query - half
+    idx = jnp.clip(
+        lo[:, None] + jnp.arange(wlen, dtype=jnp.int32)[None, :], 0, hpf_b.shape[0] - 1
+    )
+    flat = jnp.take(hpf_b, idx, axis=0).astype(jnp.float32).ravel()
+    if f0_dev is not None:
+        flat = jnp.concatenate([flat, f0_dev.astype(jnp.float32)])
+    return flat
+
+
+def _split_points_from_windows(
+    windows: np.ndarray, n_true: int, cfg: RuntimeConfig
+) -> List[int]:
+    """find_split_points (reference vc_infer_pipeline.py:516-528) from the
+    gathered windows: same f64 moving sum, same reflect padding at the
+    signal tail, same argmin — identical split points without the
+    whole-track download (up to f64 rounding: the local cumsum accumulates
+    ~1e-16-relative differently than the global one, which can only matter
+    on exact argmin ties).  ``windows[k]`` holds hpf samples
+    ``[lo_k, lo_k + wlen)`` with ``lo_k = (k+1)*t_center - t_query - 80``;
+    entries at global index >= n_true are invalid and replaced by the same
+    reflect extension np.pad(audio, 80, "reflect") would produce."""
+    t_center = SR * cfg.x_center
+    t_query = SR * cfg.x_query
+    half = WINDOW // 2
+    wlen = 2 * t_query + WINDOW
+    opt_ts: List[int] = []
+    for k in range(windows.shape[0]):
+        t = (k + 1) * t_center
+        lo = t - t_query - half
+        w = windows[k].astype(np.float64)
+        n_local = n_true - lo  # valid entries (the rest were clip-gathered)
+        if n_local < wlen:
+            w = np.concatenate(
+                [w[:n_local], w[n_local - 2 - np.arange(wlen - n_local)]]
+            )
+        csum = np.cumsum(np.concatenate([[0.0], w]))
+        i0 = t - t_query
+        i1 = min(t + t_query, n_true)
+        ms = csum[WINDOW : WINDOW + (i1 - i0)] - csum[: i1 - i0]
+        opt_ts.append(i0 + int(np.argmin(np.abs(ms))))
+    return opt_ts
+
+
 @partial(jax.jit, static_argnames=("nb",))
 def _gather_segments(src, starts, valid, nb: int):
     """Slice the (zero-padded) device signal into a (rows, nb) segment batch.
@@ -485,14 +551,49 @@ class VoiceConverter:
                 jnp.pad(audio_dev, (0, (-n_true) % (SR * len_bucket_s()))),
             )
             audio_trim = hpf_b[:n_true]
-            # one download, f32 over the wire (the device value IS f32 — an
-            # f64 fetch doubles the bytes for zero extra information; the
-            # host search upcasts so its cumsum accumulates in f64 as before)
-            audio = np.asarray(audio_trim).astype(np.float64)
-            opt_ts = find_split_points(audio, rt)
-
             audio_pad = jnp.pad(audio_trim, (t_pad, t_pad), mode="reflect")
-        p_len = audio_pad.shape[0] // WINDOW
+            p_len = audio_pad.shape[0] // WINDOW
+
+            # Device-resident front end: the raw f0 track (device-side
+            # methods) is dispatched BEFORE any download, then the split
+            # search pulls only the ±x_query windows around each center —
+            # packed with the f0 track into ONE fetch — instead of the whole
+            # f32 track.  The host finishes the search bit-identically.
+            # Host-side f0 methods (crepe/pm/harvest/dio) need the full
+            # signal on host anyway, so they keep the whole-track download.
+            raw_f0 = None
+            f0_dev = (
+                self.f0_estimator.compute_device(audio_pad, f0_method)
+                if self.synth_cfg.if_f0
+                else None
+            )
+            windowed_ok = SR * rt.x_center > SR * rt.x_query + WINDOW // 2
+            if windowed_ok and (f0_dev is not None or not self.synth_cfg.if_f0):
+                n_c = _n_split_centers(n_true, rt)
+                if n_c > 0:
+                    flat = np.asarray(
+                        _split_windows_pack(
+                            hpf_b, f0_dev, n_c, SR * rt.x_center, SR * rt.x_query
+                        )
+                    )
+                    wlen = 2 * SR * rt.x_query + WINDOW
+                    opt_ts = _split_points_from_windows(
+                        flat[: n_c * wlen].reshape(n_c, wlen), n_true, rt
+                    )
+                    if f0_dev is not None:
+                        raw_f0 = flat[n_c * wlen :]
+                else:
+                    opt_ts = []
+                    if f0_dev is not None:
+                        raw_f0 = np.asarray(f0_dev)
+            else:
+                # whole-track download, f32 over the wire (the device value
+                # IS f32 — an f64 fetch doubles the bytes for zero extra
+                # information; the host search upcasts so its cumsum
+                # accumulates in f64 as before)
+                opt_ts = find_split_points(
+                    np.asarray(audio_trim).astype(np.float64), rt
+                )
 
         pitch = pitchf = None
         if self.synth_cfg.if_f0:
@@ -507,6 +608,7 @@ class VoiceConverter:
                     crepe_hop_length,
                     inp_f0,
                     x_pad=rt.x_pad,
+                    raw_f0=raw_f0,
                 )
             pitch = coarse[:p_len]
             pitchf = f0bak[:p_len].astype(np.float32)

@@ -181,17 +181,27 @@ def bench_cover(reps: int, seconds: float) -> dict:
     store = AssetStore(base)
     pipeline = CoverPipeline(store=store)
 
-    def run(seed, run_seconds):
+    def run(seed, run_seconds, sync: bool = False):
         song = os.path.join(base, f"bench_song_{seed}.wav")
         _make_song(song, run_seconds, seed)
         # no stage-cache short-circuits (incl. leftovers of killed runs)
         shutil.rmtree(os.path.join(store.output_dir), ignore_errors=True)
         metrics = Metrics()
+        prev_sync = os.environ.get("AICG_STAGE_SYNC")
+        if sync:
+            os.environ["AICG_STAGE_SYNC"] = "1"
         t0 = time.time()
-        pipeline.song_cover(
-            song, "BenchVoice", pitch_change=0, index_rate=0.0,
-            output_format="wav", metrics=metrics,
-        )
+        try:
+            pipeline.song_cover(
+                song, "BenchVoice", pitch_change=0, index_rate=0.0,
+                output_format="wav", metrics=metrics,
+            )
+        finally:
+            if sync:
+                if prev_sync is None:
+                    os.environ.pop("AICG_STAGE_SYNC", None)
+                else:
+                    os.environ["AICG_STAGE_SYNC"] = prev_sync
         wall = time.time() - t0
         shutil.rmtree(os.path.join(store.output_dir), ignore_errors=True)
         os.remove(song)
@@ -243,15 +253,57 @@ def bench_cover(reps: int, seconds: float) -> dict:
         steady = False
     rtf = seconds / best_wall
     stages = {name: entry["seconds"] for name, entry in best_report["stages"].items()}
-    return {
+    result = {
         "metric": f"cover_rtf_{int(seconds)}s",
         "value": round(rtf, 3),
         "unit": "audio_s_per_s",
         "vs_baseline": round(rtf / BASELINE_RTF, 3),
         "stages": stages,
+        "stages_synced": False,
         "steady_state": steady,
         "reps_wall_s": [round(w, 2) for w in walls],
     }
+
+    # Honest per-stage attribution: one rep with AICG_STAGE_SYNC=1 so each
+    # stage's device compute is charged to the stage that dispatched it
+    # (unsynced stages record dispatch time only and the compute lands in
+    # whichever stage first blocks on a fetch — fine for the headline total,
+    # useless for cross-round stage comparisons).  The headline RTF above
+    # stays the unsynced best; the synced wall is reported separately.
+    if steady and time.time() - t_start + best_wall * 1.5 < hard_cap:
+        wall_sync, metrics_sync = run(90, seconds, sync=True)
+        print(f"[bench] synced rep: {wall_sync:.2f}s", file=sys.stderr)
+        result["stages"] = {
+            name: entry["seconds"]
+            for name, entry in metrics_sync.report()["stages"].items()
+        }
+        result["stages_synced"] = True
+        result["synced_wall_s"] = round(wall_sync, 2)
+
+    # The BASELINE north star: a full 4-minute cover (240 s) end to end.
+    # The 240 s class shares every chunked/bucketed program with the main
+    # bench; only the handful of whole-track per-class programs are new, so
+    # its warmup is cheap on a warm process.  Two runs: the first pays those
+    # loads, the second is steady state.
+    if (
+        steady
+        and os.environ.get("AICG_BENCH_240", "1") != "0"
+        and seconds != 240.0
+        and time.time() - t_start + 8 * best_wall < hard_cap
+    ):
+        try:
+            w1, _ = run(91, 240.0)
+            w2, _ = run(92, 240.0)
+            wall_240 = min(w1, w2)
+            print(
+                f"[bench] 240s cover: warm {w1:.2f}s, steady {w2:.2f}s "
+                f"(north star < 15s)", file=sys.stderr,
+            )
+            result["cover_240s_wall_s"] = round(wall_240, 2)
+            result["cover_240s_rtf"] = round(240.0 / wall_240, 3)
+        except Exception as e:  # pragma: no cover
+            print(f"[bench] 240s add-on failed: {e}", file=sys.stderr)
+    return result
 
 
 def bench_throughput(seconds: float, n_jobs: int = 4, workers=(2,)) -> dict:
@@ -542,12 +594,12 @@ def main() -> int:
         if (
             os.environ.get("AICG_BENCH_THROUGHPUT", "1") != "0"
             and result.get("steady_state")
-            and spent + 6 * seconds / max(result["value"], 0.1) < window
+            and spent + 10 * seconds / max(result["value"], 0.1) < window
         ):
             try:
-                tp = bench_throughput(seconds, n_jobs=4, workers=(2,))
+                tp = bench_throughput(seconds, n_jobs=4, workers=(2, 4))
                 result["throughput"] = {
-                    k: tp[k] for k in ("metric", "value", "unit", "workers")
+                    k: tp[k] for k in ("metric", "value", "unit", "workers", "sweep")
                 }
             except Exception as e:  # pragma: no cover
                 print(f"[bench] throughput add-on failed: {e}", file=sys.stderr)
