@@ -58,7 +58,84 @@ def build_parser() -> argparse.ArgumentParser:
                         help="Container for the final mix: mp3 (compact) or wav (lossless)")
     parser.add_argument("--base-dir", type=str, default=None,
                         help="Directory holding rvc_models/, mdxnet_models/, song_output/ (default: $AICG_BASE_DIR or cwd)")
+    parser.add_argument("--server", type=str, default=os.environ.get("AICG_SERVER") or None,
+                        metavar="URL",
+                        help="Submit the cover to a running `aicovergen-webui` daemon "
+                        "(e.g. http://127.0.0.1:7860) instead of loading models in "
+                        "this process. A warm daemon runs covers at steady state; a "
+                        "fresh CLI process pays checkpoint + compiled-program loads "
+                        "on every invocation (~10-20x the steady-state wall time on "
+                        "a remote-TPU host — see docs/PERFORMANCE.md). If the "
+                        "daemon's output file is not visible on this filesystem, "
+                        "the cover is downloaded next to it into ./")
     return parser
+
+
+def run_via_server(args) -> int:
+    """Client mode: POST /api/generate on a running webui daemon, poll the
+    job, and surface progress/result — the cover executes in the daemon's
+    warm process (loaded checkpoints, loaded device programs), so repeated
+    CLI covers skip the per-process cold start entirely."""
+    import json
+    import time
+    import urllib.parse
+    import urllib.request
+
+    base = args.server.rstrip("/")
+    song_input = args.song_input
+    if os.path.exists(song_input):
+        song_input = os.path.abspath(song_input)
+    params = {
+        "song_input": song_input,
+        "voice_model": args.rvc_dirname,
+        "pitch_change": args.pitch_change,
+        "keep_files": bool(args.keep_files),
+        "main_gain": args.main_vol,
+        "backup_gain": args.backup_vol,
+        "inst_gain": args.inst_vol,
+        "index_rate": args.index_rate,
+        "filter_radius": args.filter_radius,
+        "rms_mix_rate": args.rms_mix_rate,
+        "f0_method": args.pitch_detection_algo,
+        "crepe_hop_length": args.crepe_hop_length,
+        "protect": args.protect,
+        "pitch_change_all": args.pitch_change_all,
+        "reverb_rm_size": args.reverb_size,
+        "reverb_wet": args.reverb_wetness,
+        "reverb_dry": args.reverb_dryness,
+        "reverb_damping": args.reverb_damping,
+        "output_format": args.output_format,
+    }
+    req = urllib.request.Request(
+        base + "/api/generate", data=json.dumps(params).encode(),
+        headers={"Content-Type": "application/json"},
+    )
+    with urllib.request.urlopen(req) as resp:
+        job_id = json.loads(resp.read())["job_id"]
+    last_msg = None
+    while True:
+        with urllib.request.urlopen(f"{base}/api/job/{job_id}") as resp:
+            job = json.loads(resp.read())
+        msg = f"[{job['status']}] {job.get('message', '')} ({job.get('progress', 0) * 100:.0f}%)"
+        if msg != last_msg:
+            print(msg, flush=True)
+            last_msg = msg
+        if job["status"] == "done":
+            break
+        if job["status"] == "error":
+            raise SystemExit(f"server job failed: {job.get('message')}")
+        time.sleep(1.0)
+    for warning in job.get("warnings") or []:
+        print(f"[!] {warning}")
+    result = job["result"]
+    if not os.path.exists(result):  # remote daemon: fetch the artifact
+        local = os.path.basename(result)
+        url = base + "/api/audio?path=" + urllib.parse.quote(result)
+        with urllib.request.urlopen(url) as resp, open(local, "wb") as f:
+            f.write(resp.read())
+        result = os.path.abspath(local)
+    print(f"[+] Cover generated at {result}")
+    return 0
 
 
 def main(argv=None) -> int:
@@ -66,6 +143,8 @@ def main(argv=None) -> int:
 
     apply_platform_env()
     args = build_parser().parse_args(argv)
+    if args.server:
+        return run_via_server(args)
     store = AssetStore(args.base_dir or default_base_dir())
 
     if not os.path.exists(os.path.join(store.rvc_models_dir, args.rvc_dirname)):

@@ -36,9 +36,21 @@ from typing import Dict, Optional
 from ..io.assets import AssetStore, default_base_dir, load_public_models_index
 from ..utils.config import default_config
 
-_JOBS: Dict[str, dict] = {}
-_JOB_QUEUE: "queue.Queue[tuple]" = queue.Queue()
+class JobBoard:
+    """Per-server job registry + queue.  One instance per serve() call, so
+    concurrently running servers (e.g. in tests) never steal each other's
+    jobs — the previous module-global queue let a worker thread from one
+    server consume another server's submissions."""
 
+    def __init__(self) -> None:
+        self.jobs: Dict[str, dict] = {}
+        self.queue: "queue.Queue[tuple]" = queue.Queue()
+
+    def submit(self, params: dict) -> str:
+        job_id = uuid.uuid4().hex[:12]
+        self.jobs[job_id] = {"status": "queued", "progress": 0.0, "message": ""}
+        self.queue.put((job_id, params))
+        return job_id
 
 
 def _serving_mesh():
@@ -47,10 +59,10 @@ def _serving_mesh():
 
     return serving_mesh(default_config().num_devices)
 
-def _worker(pipeline):
+def _worker(pipeline, board: JobBoard):
     while True:
-        job_id, params = _JOB_QUEUE.get()
-        job = _JOBS[job_id]
+        job_id, params = board.queue.get()
+        job = board.jobs[job_id]
 
         def progress(percent, message, job=job):
             job["progress"] = percent
@@ -252,7 +264,7 @@ def _parse_multipart(body: bytes, content_type: str):
     return fields
 
 
-def make_handler(store: AssetStore):
+def make_handler(store: AssetStore, board: JobBoard):
     class Handler(BaseHTTPRequestHandler):
         def log_message(self, fmt, *args):
             pass
@@ -287,7 +299,7 @@ def make_handler(store: AssetStore):
             elif parsed.path == "/api/public_models":
                 self._json(load_public_models_index(store.base_dir))
             elif parsed.path.startswith("/api/job/"):
-                job = _JOBS.get(parsed.path.rsplit("/", 1)[-1])
+                job = board.jobs.get(parsed.path.rsplit("/", 1)[-1])
                 if job is None:
                     self._json({"error": "no such job"}, 404)
                 else:
@@ -315,11 +327,7 @@ def make_handler(store: AssetStore):
             body = self.rfile.read(length)
             try:
                 if self.path == "/api/generate":
-                    params = json.loads(body)
-                    job_id = uuid.uuid4().hex[:12]
-                    _JOBS[job_id] = {"status": "queued", "progress": 0.0, "message": ""}
-                    _JOB_QUEUE.put((job_id, params))
-                    self._json({"job_id": job_id})
+                    self._json({"job_id": board.submit(json.loads(body))})
                 elif self.path == "/api/download_model":
                     req = json.loads(body)
                     msg = download_online_model(store, req["url"], req["name"])
@@ -359,16 +367,18 @@ def serve(
     store = AssetStore(base_dir or default_base_dir())
     os.makedirs(store.output_dir, exist_ok=True)
     os.makedirs(store.rvc_models_dir, exist_ok=True)
+    board = JobBoard()
     if start_worker:
         # multi-song throughput: N workers share one pipeline (jit caches,
         # model trees and the device mesh are shared; host-side stages of
-        # one song overlap device work of another).  The reference's Gradio
-        # queue was strictly serial (reference webui.py:317-322).
+        # one song overlap device work of another — device sections are
+        # serialized by the pipeline's admission gate).  The reference's
+        # Gradio queue was strictly serial (reference webui.py:317-322).
         from ..pipeline.cover import CoverPipeline
 
         pipeline = CoverPipeline(store, runtime=default_config(), mesh=_serving_mesh())
         for _ in range(max(workers, 1)):
-            threading.Thread(target=_worker, args=(pipeline,), daemon=True).start()
+            threading.Thread(target=_worker, args=(pipeline, board), daemon=True).start()
         if warmup_voice:
             # pay checkpoint loads + compiles + per-process executable loads
             # while the server is already accepting requests; the first real
@@ -383,7 +393,8 @@ def serve(
                     print(f"[!] warmup failed (serving continues cold): {e}")
 
             threading.Thread(target=_warm, daemon=True).start()
-    server = ThreadingHTTPServer((host, port), make_handler(store))
+    server = ThreadingHTTPServer((host, port), make_handler(store, board))
+    server.job_board = board  # handed to external workers (tests, embedders)
     return server
 
 

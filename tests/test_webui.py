@@ -153,27 +153,65 @@ def test_multi_worker_queue_drains_concurrently(tmp_path):
             barrier.wait()  # both jobs must be in-flight at once
             return f"/tmp/out_{params['song_input']}.wav"
 
-    # drain jobs left behind by earlier tests (no worker ran to consume them)
-    while not webui._JOB_QUEUE.empty():
-        webui._JOB_QUEUE.get_nowait()
-
+    board = webui.JobBoard()
     pipeline = FakePipeline()
     for _ in range(2):
-        threading.Thread(target=webui._worker, args=(pipeline,), daemon=True).start()
+        threading.Thread(
+            target=webui._worker, args=(pipeline, board), daemon=True
+        ).start()
 
-    ids = []
-    for i in range(2):
-        job_id = f"job{i}"
-        webui._JOBS[job_id] = {"status": "queued", "progress": 0.0, "message": ""}
-        webui._JOB_QUEUE.put((job_id, {"song_input": str(i), "voice_model": "v"}))
-        ids.append(job_id)
+    ids = [
+        board.submit({"song_input": str(i), "voice_model": "v"}) for i in range(2)
+    ]
 
     deadline = _time.monotonic() + 15
     while _time.monotonic() < deadline:
-        if all(webui._JOBS[j]["status"] == "done" for j in ids):
+        if all(board.jobs[j]["status"] == "done" for j in ids):
             break
         _time.sleep(0.05)
-    assert all(webui._JOBS[j]["status"] == "done" for j in ids), [
-        webui._JOBS[j] for j in ids
+    assert all(board.jobs[j]["status"] == "done" for j in ids), [
+        board.jobs[j] for j in ids
     ]
     assert len(starts) == 2
+
+
+def test_cli_server_mode(tmp_path):
+    """`aicovergen-cli --server URL` submits the cover to a running daemon,
+    polls the job, and reports the daemon's output path (the warm-process
+    steady-state path for CLI covers; see api/cli.py::run_via_server)."""
+    from aicovergen_tpu.api import cli, webui
+
+    base_dir = str(tmp_path)
+    store = AssetStore(base_dir)
+    os.makedirs(store.output_dir, exist_ok=True)
+    result_path = os.path.join(store.output_dir, "cover (VoiceA Ver).wav")
+    with open(result_path, "wb") as f:
+        f.write(b"RIFF")
+
+    seen = {}
+
+    class FakePipeline:
+        def song_cover(self, progress=None, **params):
+            seen.update(params)
+            if progress:
+                progress(0.5, "[~] halfway")
+            return result_path
+
+    srv = webui.serve(base_dir, host="127.0.0.1", port=0, start_worker=False)
+    threading.Thread(
+        target=webui._worker, args=(FakePipeline(), srv.job_board), daemon=True
+    ).start()
+    thread = threading.Thread(target=srv.serve_forever, daemon=True)
+    thread.start()
+    try:
+        url = f"http://127.0.0.1:{srv.server_address[1]}"
+        rc = cli.main([
+            "-i", "song.wav", "-dir", "VoiceA", "-p", "1",
+            "-palgo", "mangio-crepe", "--server", url,
+        ])
+        assert rc == 0
+        assert seen["voice_model"] == "VoiceA"
+        assert seen["pitch_change"] == 1
+        assert seen["f0_method"] == "mangio-crepe"
+    finally:
+        srv.shutdown()
