@@ -15,7 +15,7 @@ reach the device.
 
 from __future__ import annotations
 
-from typing import Callable, Dict, List
+from typing import Callable, Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -344,7 +344,22 @@ class OnnxExecutor:
             env.update(feed)
         return self._execute(env)
 
-    def _execute(self, env: Dict[str, object]):
+    def trace(self, x) -> Dict[str, object]:
+        """Eager per-node activation trace: run the graph once and return
+        {tensor_name: value} for EVERY node output (not just the graph
+        outputs).  Exists for the asset-gated real-checkpoint validation
+        (tests/test_real_uvr.py): the conv-TDF architecture lives only
+        inside the UVR .onnx files (reference src/mdx.py:74-77 runs them as
+        a black box), so when a real checkpoint is present each intermediate
+        is compared against onnxruntime layer by layer."""
+        graph = self.graph
+        env: Dict[str, object] = dict(self.initializers)
+        env[graph.inputs[0]] = x
+        record: Dict[str, object] = {}
+        self._execute(env, record=record)
+        return record
+
+    def _execute(self, env: Dict[str, object], record: Optional[dict] = None):
         graph = self.graph
         for node in graph.nodes:
             # "" marks an omitted optional input (onnx convention) -> None;
@@ -365,6 +380,8 @@ class OnnxExecutor:
             outs = self._run_node(node, ins)
             for name, val in zip(node.outputs, outs):
                 env[name] = val
+                if record is not None:
+                    record[name] = val
         results = [env[o] for o in graph.outputs]
         return results[0] if len(results) == 1 else tuple(results)
 
