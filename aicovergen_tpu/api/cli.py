@@ -156,7 +156,7 @@ def main(argv=None) -> int:
     from ..utils.config import default_config
 
     runtime = default_config()
-    pipeline = CoverPipeline(store, runtime=runtime, mesh=serving_mesh(runtime.num_devices))
+    pipeline = CoverPipeline(store, runtime=runtime, mesh=serving_mesh(runtime.num_devices, runtime.model_parallel))
     cover_path = pipeline.song_cover(
         args.song_input,
         args.rvc_dirname,

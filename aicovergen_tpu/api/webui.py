@@ -57,7 +57,8 @@ def _serving_mesh():
     from ..parallel.mesh import serving_mesh
     from ..utils.config import default_config
 
-    return serving_mesh(default_config().num_devices)
+    cfg = default_config()
+    return serving_mesh(cfg.num_devices, cfg.model_parallel)
 
 def _worker(pipeline, board: JobBoard):
     while True:
@@ -386,7 +387,10 @@ def serve(
             # tunnel, VERDICT r02 item 8)
             def _warm():
                 try:
-                    spent = pipeline.warmup(warmup_voice, warmup_seconds)
+                    # "auto" warms through the fabricated .warmup voice, so
+                    # no user model needs to exist yet
+                    voice = None if warmup_voice == "auto" else warmup_voice
+                    spent = pipeline.warmup(voice, warmup_seconds)
                     print(f"[+] warmup({warmup_voice!r}, {warmup_seconds:.0f}s "
                           f"class) done in {spent:.1f}s — serving at steady state")
                 except Exception as e:
@@ -421,7 +425,9 @@ def main(argv=None) -> int:
     ap.add_argument("--warmup", default=os.environ.get("AICG_WARMUP") or None,
                     metavar="VOICE",
                     help="run one synthetic cover with this voice at startup "
-                    "(background) so the first user job is steady-state fast")
+                    "(background) so the first user job is steady-state fast; "
+                    "'auto' warms through a fabricated voice (no user model "
+                    "needed)")
     ap.add_argument("--warmup-seconds", type=float,
                     default=float(os.environ.get("AICG_WARMUP_SECONDS", 240)),
                     help="length class to warm (default 240 s = 4-min song)")

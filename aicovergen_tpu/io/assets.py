@@ -74,6 +74,10 @@ class AssetStore:
             return []
         out = []
         for name in sorted(os.listdir(self.rvc_models_dir)):
+            # dot-dirs are internal (e.g. ".warmup" synthetic voice) and stay
+            # out of user-facing listings; rvc_model_paths still resolves them
+            if name.startswith("."):
+                continue
             if os.path.isdir(os.path.join(self.rvc_models_dir, name)):
                 out.append(name)
         return out

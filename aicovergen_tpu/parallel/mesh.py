@@ -68,16 +68,26 @@ def pad_to_multiple(x: np.ndarray, multiple: int, axis: int = 0):
     return np.pad(x, widths), n
 
 
-def serving_mesh(num_devices: Optional[int] = None) -> Optional[Mesh]:
-    """Pure data-parallel mesh for the serving path: all (or num_devices)
-    visible devices on the "data" axis, or None on a single device.  Entry
-    points call this so multi-chip hosts shard MDX chunk batches and VC
-    segment batches automatically (SURVEY §2.2)."""
+def serving_mesh(
+    num_devices: Optional[int] = None, model_parallel: int = 1
+) -> Optional[Mesh]:
+    """Mesh for the serving path: all (or num_devices) visible devices,
+    arranged (data = n/model_parallel, model = model_parallel); None on a
+    single device.  Entry points call this so multi-chip hosts shard MDX
+    chunk batches and VC segment batches over "data" automatically, and —
+    with model_parallel > 1 (AICG_MODEL_PARALLEL) — run the HuBERT /
+    text-encoder matmuls tensor-parallel over "model" for single-song
+    latency (SURVEY §2.2; parallel/tp.py)."""
     n = len(jax.devices())
     want = min(num_devices or n, n)
     if want <= 1:
         return None
-    return make_mesh(want)
+    mp = max(1, model_parallel)
+    if want % mp:
+        raise ValueError(
+            f"model_parallel={mp} does not divide the {want}-device serving mesh"
+        )
+    return make_mesh(want, model_parallel=mp)
 
 
 def make_chunk_sharder(mesh: Optional[Mesh]):

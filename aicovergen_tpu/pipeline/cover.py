@@ -313,18 +313,45 @@ class CoverPipeline:
         return stems
 
     # --------------------------------------------------------------- warmup
-    def warmup(self, voice_model: str, seconds: float = 240.0) -> float:
+    def _ensure_warmup_voice(self) -> str:
+        """Create (once) a hidden synthetic RVC voice at the production v2 +
+        f0 40k architecture so warmup needs ZERO user assets: compiled
+        programs are keyed by shapes/dtypes, not weights, so warming through
+        random weights loads the exact executables any real v2-40k voice
+        uses.  Lives in rvc_models/.warmup/ (dot-dirs are hidden from
+        list_voice_models)."""
+        name = ".warmup"
+        voice_dir = os.path.join(self.store.rvc_models_dir, name)
+        pth = os.path.join(voice_dir, "warmup_v2_40k.pth")
+        if not os.path.exists(pth):
+            from ..models.rvc import RVCConfig
+            from ..models.rvc_train import init_synthesizer_params
+            from ..train.checkpoint import save_rvc_pth
+
+            os.makedirs(voice_dir, exist_ok=True)
+            cfg = RVCConfig(version="v2", if_f0=True)  # 40k architecture
+            params = init_synthesizer_params(cfg, seed=0)
+            save_rvc_pth(pth, params, cfg)
+        return name
+
+    def warmup(self, voice_model: Optional[str] = None, seconds: float = 240.0) -> float:
         """Pay every first-use cost (checkpoint loads, program compiles, and
         the remote backend's per-process executable loads) before real
         traffic: runs one full synthetic cover of the `seconds` length class
         and removes its outputs.  Returns the wall seconds spent.
 
-        Serving processes call this at startup (webui --warmup) so the first
-        user cover runs at steady state — measured 3-10x faster than an
-        unwarmed first cover on the remote-TPU tunnel.  Warm the LONGEST
-        class you expect (default 240 s = the 4-minute BASELINE song; every
-        shorter class shares the chunked/bucketed programs and only the
-        handful of whole-track programs differ per class)."""
+        `voice_model=None` warms through a fabricated v2-40k voice
+        (`_ensure_warmup_voice`), so serving hosts warm before any user model
+        is downloaded.  The base assets (MDX nets, hubert_base.pt, rmvpe.pt)
+        must exist — they ship with the deployment image.
+
+        Serving processes call this at startup (webui --warmup,
+        Predictor.setup) so the first user cover runs at steady state —
+        measured 3-10x faster than an unwarmed first cover on the remote-TPU
+        tunnel.  Warm the LONGEST class you expect (default 240 s = the
+        4-minute BASELINE song; every shorter class shares the chunked/
+        bucketed programs and only the handful of whole-track programs
+        differ per class)."""
         import shutil
         import tempfile
         import time as _time
@@ -332,6 +359,8 @@ class CoverPipeline:
         from ..io.audio import write_wav
 
         t0 = _time.perf_counter()
+        if voice_model is None:
+            voice_model = self._ensure_warmup_voice()
         sr = SR_MDX
         t = np.arange(int(seconds * sr)) / sr
         wave = (

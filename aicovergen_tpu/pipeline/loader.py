@@ -121,6 +121,17 @@ def build_voice_converter(
         synth_params = cast_floats(synth_params, dtype)
         hubert_params = cast_floats(hubert_params, dtype)
 
+    # tensor parallelism on the serving path: when the mesh carries a
+    # "model" axis (> 1), place HuBERT / text-encoder weights with
+    # Megatron-style shardings so GSPMD runs the wide matmuls across chips
+    # even at segment-batch 1 (single-song latency, SURVEY §2.2)
+    mesh = getattr(shard, "mesh", None) if shard is not None else None
+    from ..parallel.tp import hubert_tp_spec, mesh_model_parallel, synth_tp_spec, tp_place
+
+    if mesh_model_parallel(mesh) > 1:
+        hubert_params = tp_place(hubert_params, mesh, hubert_tp_spec)
+        synth_params = tp_place(synth_params, mesh, synth_tp_spec)
+
     return VoiceConverter(
         synth_params=synth_params,
         synth_cfg=synth_cfg,

@@ -39,6 +39,10 @@ class RuntimeConfig:
     bucket_samples: int = 128000
     # Devices used for data-parallel chunk batching; None = all.
     num_devices: int | None = None
+    # "model"-axis width of the serving mesh (tensor parallelism of the
+    # HuBERT / text-encoder matmuls for single-song latency); devices are
+    # arranged (data = n/model_parallel, model = model_parallel).
+    model_parallel: int = 1
 
     @property
     def compute_dtype(self):
@@ -72,4 +76,5 @@ def default_config() -> RuntimeConfig:
         use_bf16=env("AICG_TPU_BF16", "1") != "0",
         bucket_samples=int(env("AICG_BUCKET", 128000)),
         num_devices=int(env("AICG_NUM_DEVICES", 0)) or None,
+        model_parallel=max(1, int(env("AICG_MODEL_PARALLEL", 1))),
     )

@@ -86,6 +86,66 @@ def test_train_step_dp_tp():
     assert np.isfinite(float(metrics["loss/disc"]))
 
 
+def _vc_fixture_params():
+    from conftest import load_fixture
+    from aicovergen_tpu.convert.hubert_convert import transformers_state_to_tree
+    from aicovergen_tpu.convert.torch_reader import fold_weight_norm, nest
+
+    fx = load_fixture("rvc_synth_v2f0.npz")
+    flat = {
+        k[3:]: fx[k]
+        for k in fx.files
+        if k.startswith("sd:")
+        and not k[3:].startswith("enc_q.")
+        and not k.endswith("num_batches_tracked")
+    }
+    synth_params = nest(fold_weight_norm(flat))
+    hx = load_fixture("hubert_base.npz")
+    hubert_params = transformers_state_to_tree(
+        {k[3:]: hx[k] for k in hx.files if k.startswith("sd:")}
+    )
+    return synth_params, hubert_params
+
+
+def test_vc_dp_tp_matches_single_device():
+    """Serving-path tensor parallelism (VERDICT r03 item 8): the same
+    VoiceConverter on a 4-data x 2-model mesh with Megatron param shardings
+    (parallel/tp.py) must reproduce the single-device output."""
+    from aicovergen_tpu.parallel.tp import hubert_tp_spec, synth_tp_spec, tp_place
+    from aicovergen_tpu.pipeline.f0 import F0Estimator
+    from aicovergen_tpu.pipeline.vc import SR, VoiceConverter
+    from aicovergen_tpu.utils.config import RuntimeConfig
+
+    synth_params, hubert_params = _vc_fixture_params()
+    runtime = RuntimeConfig(x_pad=1, x_query=1, x_center=3, x_max=5, bucket_samples=8000)
+    t = np.arange(SR * 7) / SR
+    audio = (0.3 * np.sin(2 * np.pi * 330 * t)).astype(np.float64)
+    cfg = RVCConfig(version="v2", if_f0=True)
+
+    single = VoiceConverter(
+        synth_params=synth_params, synth_cfg=cfg, hubert_params=hubert_params,
+        f0_estimator=F0Estimator(), runtime=runtime,
+    )
+    out_single, sr_single = single.convert(audio, f0_method="pm", index_rate=0.0)
+
+    mesh = make_mesh(8, model_parallel=2)
+    tp = VoiceConverter(
+        synth_params=tp_place(synth_params, mesh, synth_tp_spec),
+        synth_cfg=cfg,
+        hubert_params=tp_place(hubert_params, mesh, hubert_tp_spec),
+        f0_estimator=F0Estimator(),
+        runtime=runtime,
+        shard=make_chunk_sharder(mesh),
+        data_parallel=mesh.shape["data"],
+    )
+    out_tp, sr_tp = tp.convert(audio, f0_method="pm", index_rate=0.0)
+    assert sr_single == sr_tp
+    assert out_single.shape == out_tp.shape
+    np.testing.assert_allclose(
+        out_tp.astype(np.int32), out_single.astype(np.int32), atol=2
+    )
+
+
 def test_sharded_vc_matches_single_device():
     """Full VoiceConverter with the segment batch sharded over the 8-device
     "data" axis must reproduce the unsharded output (per-row fold_in noise
