@@ -48,6 +48,9 @@ class Predictor:
         self.store = AssetStore(self.base_dir or default_base_dir())
         from ..pipeline.cover import CoverPipeline
 
+        # serving posture: cache files land behind the response (see
+        # utils/config.py stem_cache_mode)
+        os.environ.setdefault("AICG_STEM_CACHE", "behind")
         self.pipeline = CoverPipeline(self.store, runtime=default_config(), mesh=_serving_mesh())
 
         if warmup_seconds is None:

@@ -377,6 +377,10 @@ def serve(
         # Gradio queue was strictly serial (reference webui.py:317-322).
         from ..pipeline.cover import CoverPipeline
 
+        # serving posture: stem-cache files are written BEHIND the response
+        # (a cover's ~60-130 MB of cache downloads never sit between the user
+        # and their file; re-covers of a song join its pending writes first)
+        os.environ.setdefault("AICG_STEM_CACHE", "behind")
         pipeline = CoverPipeline(store, runtime=default_config(), mesh=_serving_mesh())
         for _ in range(max(workers, 1)):
             threading.Thread(target=_worker, args=(pipeline, board), daemon=True).start()

@@ -28,7 +28,12 @@ import numpy as np
 from ..io.assets import AssetStore, mdx_params_for
 from ..io.audio import check_encodable, load_audio, save_audio, to_stereo, write_wav
 from ..ops.resample import resample_poly_np
-from ..utils.config import RuntimeConfig, default_config
+from ..utils.config import (
+    RuntimeConfig,
+    cache_fetch_chunk_s,
+    default_config,
+    stem_cache_mode,
+)
 from ..utils.hashing import file_hash_blake2b
 from ..utils.host_io import AsyncWriter
 from ..utils.metrics import Metrics, profile_trace
@@ -99,6 +104,27 @@ def _prefetched_chunks(arr, n: int, step: int = 0):
 
 # shared whole-track length-class knob (utils/config.py: AICG_LEN_BUCKET_S)
 from ..utils.config import len_bucket_s as _len_bucket_s
+
+
+def _fetch_int16(q, step_samples: int) -> np.ndarray:
+    """Device int16 (..., T) -> host ndarray in `step_samples` slices.
+
+    Cache-stem downloads share ONE tunnel stream with every critical-path
+    fetch in the process; a bulk 21 MB transfer head-of-line-blocks a
+    concurrent cover's split-window or mix fetch for its whole duration.
+    Slicing bounds that wait to one slice; the extra fixed per-transfer
+    latency (~0.3 s measured per transfer) lands on the background writer
+    thread, never the cover's critical path.  Slice bounds are multiples of
+    `step_samples`, so the slice programs are shared across songs of a
+    length class."""
+    T = int(q.shape[-1])
+    if step_samples <= 0 or T <= step_samples:
+        return np.asarray(q)
+    out = np.empty(q.shape, np.int16)
+    for a in range(0, T, step_samples):
+        b = min(a + step_samples, T)
+        out[..., a:b] = np.asarray(q[..., a:b])
+    return out
 
 
 def get_youtube_video_id(url: str, ignore_playlist: bool = True) -> Optional[str]:
@@ -188,6 +214,49 @@ class CoverPipeline:
             if os.environ.get("AICG_DEVICE_GATE", "1") == "1"
             else contextlib.nullcontext()
         )
+        # write-behind stem cache (AICG_STEM_CACHE=behind): one pipeline-level
+        # writer thread owns deferred cache downloads/writes; futures are
+        # tracked per song_dir so a re-cover of the same song can join them
+        # before trusting the on-disk cache (see drain_cache)
+        self._cache_pool = None
+        self._cache_futures = {}
+        self._cache_track_lock = threading.Lock()
+
+    def _cache_submit_behind(self, song_dir: str, fn) -> None:
+        with self._cache_track_lock:
+            if self._cache_pool is None:
+                from concurrent.futures import ThreadPoolExecutor
+
+                self._cache_pool = ThreadPoolExecutor(
+                    max_workers=1, thread_name_prefix="aicg-cache"
+                )
+
+            def guarded():
+                # the song dir can be evicted (cleanup, cache clear) while the
+                # write is still queued — a missing dir makes the write moot
+                try:
+                    fn()
+                except FileNotFoundError:
+                    if os.path.isdir(song_dir):
+                        raise
+
+            self._cache_futures.setdefault(song_dir, []).append(
+                self._cache_pool.submit(guarded)
+            )
+
+    def drain_cache(self, song_dir: Optional[str] = None) -> None:
+        """Join pending write-behind cache writes (one song's, or all).
+        Serving processes call this at shutdown/idle; song_cover calls it for
+        its own song before trusting the on-disk cache.  Re-raises the first
+        writer failure."""
+        with self._cache_track_lock:
+            if song_dir is None:
+                futs = [f for fs in self._cache_futures.values() for f in fs]
+                self._cache_futures.clear()
+            else:
+                futs = self._cache_futures.pop(song_dir, [])
+        for fut in futs:
+            fut.result()
 
     def _get_voice_converter(self, voice_model: str):
         """VoiceConverters are read-only after construction; cache them so
@@ -253,6 +322,8 @@ class CoverPipeline:
         metrics=None,
         keep_files: bool = True,
         writer: Optional[AsyncWriter] = None,
+        cache_submit=None,
+        cache_stems: bool = True,
     ):
         """3-stage separation chain (reference main.py:166-190). Returns dict
         of DEVICE stems (2, T) float32 at 44.1 kHz; cache WAVs are written by
@@ -297,19 +368,25 @@ class CoverPipeline:
         # dispatch the int16 quantize on device and hand the arrays to the
         # writer: the device->host copy happens on the writer thread (on this
         # backend copy_to_host_async can block the calling thread, so the
-        # main thread must not touch the bytes)
-        with metrics.stage("separate/fetch_dispatch"):
-            for suffix, audio in stems.items():
-                path = os.path.join(song_dir, f"{base}_{suffix}.wav")
-                q = quantize_int16(audio)
+        # main thread must not touch the bytes).  The fetch itself runs in
+        # length-class slices (_fetch_int16) so it never head-of-line-blocks
+        # another cover's critical-path fetch behind a whole stem.
+        if cache_stems:
+            step = int(cache_fetch_chunk_s() * SR_MDX)
+            with metrics.stage("separate/fetch_dispatch"):
+                for suffix, audio in stems.items():
+                    path = os.path.join(song_dir, f"{base}_{suffix}.wav")
+                    q = quantize_int16(audio)
 
-                def _write(path=path, q=q):
-                    write_wav(path, np.asarray(q), SR_MDX)
+                    def _write(path=path, q=q):
+                        write_wav(path, _fetch_int16(q, step), SR_MDX)
 
-                if writer is not None:
-                    writer.submit(_write)
-                else:
-                    _write()
+                    if cache_submit is not None:
+                        cache_submit(_write)
+                    elif writer is not None:
+                        writer.submit(_write)
+                    else:
+                        _write()
         return stems
 
     # --------------------------------------------------------------- warmup
@@ -374,6 +451,7 @@ class CoverPipeline:
             out = self.song_cover(
                 song, voice_model, keep_files=False, output_format="wav"
             )
+            self.drain_cache(os.path.dirname(out))
             shutil.rmtree(os.path.dirname(out), ignore_errors=True)
         return _time.perf_counter() - t0
 
@@ -448,6 +526,17 @@ class CoverPipeline:
         song_dir = os.path.join(self.store.output_dir, song_id)
         os.makedirs(song_dir, exist_ok=True)
 
+        # cache-write policy (utils/config.py stem_cache_mode): sync keeps the
+        # reference's files-exist-on-return contract; behind moves the cache
+        # downloads (the bulk of tunnel D2H traffic) off the user-visible
+        # critical path; off skips them.  keep_files is an explicit request
+        # for the files, so it overrides off.
+        cache_mode = stem_cache_mode()
+        if cache_mode == "behind":
+            # the previous cover of this song may still be writing its cache
+            self.drain_cache(song_dir)
+        cache_stems = cache_mode != "off" or keep_files
+
         # --- acquire + stereo decode; on a cache hit for a YouTube input,
         # recover the basename from the cached stems instead of re-downloading
         # (the reference resolves orig_song_path via get_audio_paths on cache
@@ -498,6 +587,15 @@ class CoverPipeline:
         # host I/O with each other's device sections but never interleave
         # device round trips (see __post_init__).
         with AsyncWriter() as writer, contextlib.ExitStack() as gate:
+
+            def cache_submit(fn):
+                if not cache_stems:
+                    return
+                if cache_mode == "behind":
+                    self._cache_submit_behind(song_dir, fn)
+                else:
+                    writer.submit(fn)
+
             if cached and not keep_files:
                 from ..io.audio import read_wav
 
@@ -511,13 +609,15 @@ class CoverPipeline:
                     if sr != SR_MDX:
                         wave = resample_poly_np(wave.astype(np.float32), sr, SR_MDX)
                     orig = to_stereo(wave).astype(np.float32)
-                    writer.submit(
-                        write_wav, os.path.join(song_dir, f"{base}.wav"), orig, SR_MDX
+                    cache_submit(
+                        lambda p=os.path.join(song_dir, f"{base}.wav"), a=orig:
+                            write_wav(p, a, SR_MDX)
                     )
                 gate.enter_context(self._device_gate)
                 stems = self.separate_song(
                     song_dir, base, orig, progress,
                     metrics=metrics, keep_files=keep_files, writer=writer,
+                    cache_submit=cache_submit, cache_stems=cache_stems,
                 )
                 instrumental = stems["Instrumental"]
                 dereverb = stems["Vocals_Main_DeReverb"]
@@ -566,10 +666,10 @@ class CoverPipeline:
                 # the true length happens host-side (device-side [:n] slices
                 # carry content-dependent shapes -> a remote recompile per
                 # song), so the WAV write trims after the download
-                writer.submit(
-                    lambda p=ai_vocals_path, a=converted_dev, s=ai_sr, n=n_ai: write_wav(
-                        p, np.asarray(a)[None, :n], s
-                    )
+                step_ai = int(cache_fetch_chunk_s() * ai_sr)
+                cache_submit(
+                    lambda p=ai_vocals_path, a=converted_dev, s=ai_sr, n=n_ai:
+                        write_wav(p, _fetch_int16(a, step_ai)[None, :n], s)
                 )
                 ai_float = converted_dev.astype(jnp.float32)[None, :] / 32768.0
                 del vc
@@ -595,9 +695,10 @@ class CoverPipeline:
                 # without keep_files the reference deletes this file at the end
                 # of the run (main.py:304-311) — skip producing it at all
                 q = quantize_int16(ai_vocals_mixed)
-                writer.submit(
+                step_mx = int(cache_fetch_chunk_s() * ai_sr)
+                cache_submit(
                     lambda p=mixed_path, a=q, s=ai_sr, n=n_ai: write_wav(
-                        p, np.asarray(a)[:, :n], s
+                        p, _fetch_int16(a, step_mx)[:, :n], s
                     )
                 )
 

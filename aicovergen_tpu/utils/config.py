@@ -64,6 +64,40 @@ def len_bucket_s() -> int:
     return max(1, int(os.environ.get("AICG_LEN_BUCKET_S", "32")))
 
 
+def stem_cache_mode() -> str:
+    """Stem-cache write policy (AICG_STEM_CACHE): how the WAV cache files
+    (original, separation stems, converted vocals) reach disk.
+
+      sync   — (default) every cache file is downloaded and written before
+               song_cover returns: the reference's file contract
+               (reference src/main.py:166-203 writes each stage's WAV before
+               the next starts).
+      behind — cache files are written by a pipeline-level background writer
+               AFTER the cover returns; the user-visible latency excludes
+               the ~60-130 MB of device->host cache downloads that dominate
+               a remote-tunnel critical path.  Re-covering the same song
+               joins that song's pending writes first, so the cache-hit
+               contract still holds.  Serving front ends (webui with
+               workers, Predictor) default to this.
+      off    — cache files are neither downloaded nor written (stateless
+               serving hosts); every cover re-separates.
+    """
+    mode = os.environ.get("AICG_STEM_CACHE", "sync").lower()
+    if mode not in ("sync", "behind", "off"):
+        raise ValueError(f"AICG_STEM_CACHE must be sync|behind|off, got {mode!r}")
+    return mode
+
+
+def cache_fetch_chunk_s() -> float:
+    """Slice length (seconds) for background cache-stem downloads.  Bulk
+    device->host transfers on one tunnel stream head-of-line-block the next
+    critical-path fetch behind up to ~21 MB; slicing bounds that wait to one
+    slice (~5 MB at the 30 s default) at the cost of one fixed per-transfer
+    latency (~0.3 s measured) per extra slice — paid on the background
+    writer thread, not the cover's critical path.  0 disables slicing."""
+    return float(os.environ.get("AICG_CACHE_FETCH_CHUNK_S", "30"))
+
+
 def default_config() -> RuntimeConfig:
     """Defaults tuned for TPU HBM; every knob is overridable via env for
     constrained hosts (AICG_X_PAD/X_QUERY/X_CENTER/X_MAX/BUCKET)."""

@@ -172,24 +172,69 @@ def _make_song(path: str, seconds: float, seed: int) -> None:
     write_wav(path, wave, sr)
 
 
+_PIPELINE = None
+
+
+def _get_pipeline():
+    """One CoverPipeline per bench process: the cover bench and the
+    piggybacked throughput bench share jit caches, loaded voice/MDX trees
+    and the device mesh (a second pipeline would re-pay the checkpoint load
+    + parameter upload, ~30 s on a remote tunnel)."""
+    global _PIPELINE
+    if _PIPELINE is None:
+        from aicovergen_tpu.io.assets import AssetStore
+        from aicovergen_tpu.pipeline.cover import CoverPipeline
+
+        _PIPELINE = CoverPipeline(store=AssetStore(_build_assets()))
+    return _PIPELINE
+
+
+def _tunnel_probe(mb: int = 16) -> dict:
+    """Measure the host<->device link's current bandwidth (MB/s each way).
+    On the remote-TPU tunnel this 'weather' swings ~5x between sessions
+    (measured 5-40 MB/s D2H) and a cover moves 60-190 MB, so every number in
+    this bench is only interpretable next to the link speed it ran under."""
+    import jax.numpy as jnp
+
+    n = mb * 1024 * 1024 // 4
+    x = (jnp.ones((n,), jnp.float32) * 0.5).block_until_ready()
+    t0 = time.time()
+    np.asarray(x)
+    d2h = mb / max(time.time() - t0, 1e-9)
+    h = np.full((n,), 0.25, np.float32)
+    t0 = time.time()
+    jnp.asarray(h).block_until_ready()
+    h2d = mb / max(time.time() - t0, 1e-9)
+    out = {"d2h_mbps": round(d2h, 1), "h2d_mbps": round(h2d, 1)}
+    print(f"[bench] tunnel probe ({mb} MB): D2H {d2h:.1f} MB/s, "
+          f"H2D {h2d:.1f} MB/s", file=sys.stderr)
+    return out
+
+
 def bench_cover(reps: int, seconds: float) -> dict:
-    from aicovergen_tpu.pipeline.cover import CoverPipeline
-    from aicovergen_tpu.io.assets import AssetStore
     from aicovergen_tpu.utils.metrics import Metrics
 
     base = _build_assets()
-    store = AssetStore(base)
-    pipeline = CoverPipeline(store=store)
+    pipeline = _get_pipeline()
+    store = pipeline.store
 
-    def run(seed, run_seconds, sync: bool = False):
+    def run(seed, run_seconds, sync: bool = False, cache_mode: str = None):
+        """One cover; returns (wall_s, cache_drain_s, metrics).  cache_mode
+        overrides AICG_STEM_CACHE for this run ('behind' = the serving
+        posture: the wall excludes deferred cache downloads, which are then
+        drained and timed separately)."""
         song = os.path.join(base, f"bench_song_{seed}.wav")
         _make_song(song, run_seconds, seed)
         # no stage-cache short-circuits (incl. leftovers of killed runs)
         shutil.rmtree(os.path.join(store.output_dir), ignore_errors=True)
         metrics = Metrics()
-        prev_sync = os.environ.get("AICG_STAGE_SYNC")
+        prev = {
+            k: os.environ.get(k) for k in ("AICG_STAGE_SYNC", "AICG_STEM_CACHE")
+        }
         if sync:
             os.environ["AICG_STAGE_SYNC"] = "1"
+        if cache_mode:
+            os.environ["AICG_STEM_CACHE"] = cache_mode
         t0 = time.time()
         try:
             pipeline.song_cover(
@@ -197,15 +242,18 @@ def bench_cover(reps: int, seconds: float) -> dict:
                 output_format="wav", metrics=metrics,
             )
         finally:
-            if sync:
-                if prev_sync is None:
-                    os.environ.pop("AICG_STAGE_SYNC", None)
+            for k, v in prev.items():
+                if v is None:
+                    os.environ.pop(k, None)
                 else:
-                    os.environ["AICG_STAGE_SYNC"] = prev_sync
+                    os.environ[k] = v
         wall = time.time() - t0
+        t1 = time.time()
+        pipeline.drain_cache()
+        drain = time.time() - t1
         shutil.rmtree(os.path.join(store.output_dir), ignore_errors=True)
         os.remove(song)
-        return wall, metrics
+        return wall, drain, metrics
 
     # the first sync of a fresh process can absorb minutes of backend
     # init / stale-lease wait on the remote-TPU tunnel (measured 70-770 s,
@@ -227,9 +275,10 @@ def bench_cover(reps: int, seconds: float) -> dict:
     t_start = time.time()
     walls, stage_reports = [], []
 
-    wall, metrics = run(0, seconds)
+    wall, _, metrics = run(0, seconds)
     print(f"[bench] warmup (incl. compile): {wall:.1f}s", file=sys.stderr)
     warmup_report = metrics.report()
+    tunnel = _tunnel_probe()
 
     rep = 0
     while rep < reps and (
@@ -238,7 +287,7 @@ def bench_cover(reps: int, seconds: float) -> dict:
     ):
         if rep == 0 and time.time() - t_start > hard_cap:
             break
-        wall, metrics = run(rep + 1, seconds)
+        wall, _, metrics = run(rep + 1, seconds)
         walls.append(wall)
         stage_reports.append(metrics.report())
         print(f"[bench] rep {rep + 1}: {wall:.2f}s  rtf={seconds / wall:.2f}", file=sys.stderr)
@@ -262,7 +311,20 @@ def bench_cover(reps: int, seconds: float) -> dict:
         "stages_synced": False,
         "steady_state": steady,
         "reps_wall_s": [round(w, 2) for w in walls],
+        "tunnel": tunnel,
     }
+
+    # serving posture (AICG_STEM_CACHE=behind, the webui/Predictor default):
+    # user-visible cover latency excludes the deferred cache downloads, which
+    # are drained and reported separately
+    if steady and time.time() - t_start + best_wall * 1.5 < hard_cap:
+        wall_srv, drain_srv, _ = run(80, seconds, cache_mode="behind")
+        print(f"[bench] serving-posture rep (cache write-behind): "
+              f"{wall_srv:.2f}s  rtf={seconds / wall_srv:.2f}  "
+              f"(+{drain_srv:.2f}s cache drain)", file=sys.stderr)
+        result["serving_rtf"] = round(seconds / wall_srv, 3)
+        result["serving_wall_s"] = round(wall_srv, 2)
+        result["serving_cache_drain_s"] = round(drain_srv, 2)
 
     # Honest per-stage attribution: one rep with AICG_STAGE_SYNC=1 so each
     # stage's device compute is charged to the stage that dispatched it
@@ -271,7 +333,7 @@ def bench_cover(reps: int, seconds: float) -> dict:
     # useless for cross-round stage comparisons).  The headline RTF above
     # stays the unsynced best; the synced wall is reported separately.
     if steady and time.time() - t_start + best_wall * 1.5 < hard_cap:
-        wall_sync, metrics_sync = run(90, seconds, sync=True)
+        wall_sync, _, metrics_sync = run(90, seconds, sync=True)
         print(f"[bench] synced rep: {wall_sync:.2f}s", file=sys.stderr)
         result["stages"] = {
             name: entry["seconds"]
@@ -292,15 +354,29 @@ def bench_cover(reps: int, seconds: float) -> dict:
         and time.time() - t_start + 8 * best_wall < hard_cap
     ):
         try:
-            w1, _ = run(91, 240.0)
-            w2, _ = run(92, 240.0)
-            wall_240 = min(w1, w2)
+            # first run pays the 240 s class's whole-track program loads and
+            # reports the reference-faithful sync-cache wall; the steady
+            # serving-posture runs carry the north-star number
+            w1, _, _ = run(91, 240.0)
+            w_sync, _, _ = run(92, 240.0)
+            walls_240, drains_240 = [], []
+            for seed in (93, 94):
+                w, d, _ = run(seed, 240.0, cache_mode="behind")
+                walls_240.append(w)
+                drains_240.append(d)
+                if time.time() - t_start + w > hard_cap:
+                    break
+            wall_240 = min(walls_240)
             print(
-                f"[bench] 240s cover: warm {w1:.2f}s, steady {w2:.2f}s "
-                f"(north star < 15s)", file=sys.stderr,
+                f"[bench] 240s cover: warm {w1:.2f}s, sync-cache {w_sync:.2f}s, "
+                f"serving {'/'.join(f'{w:.2f}' for w in walls_240)}s "
+                f"(+{max(drains_240):.2f}s cache drain) — north star < 15s",
+                file=sys.stderr,
             )
             result["cover_240s_wall_s"] = round(wall_240, 2)
             result["cover_240s_rtf"] = round(240.0 / wall_240, 3)
+            result["cover_240s_sync_wall_s"] = round(w_sync, 2)
+            result["cover_240s_cache_drain_s"] = round(max(drains_240), 2)
         except Exception as e:  # pragma: no cover
             print(f"[bench] 240s add-on failed: {e}", file=sys.stderr)
     return result
@@ -308,26 +384,29 @@ def bench_cover(reps: int, seconds: float) -> dict:
 
 def bench_throughput(seconds: float, n_jobs: int = 4, workers=(2,)) -> dict:
     """BASELINE config 5 (per-chip slice): N concurrent covers through one
-    CoverPipeline from `workers` serving threads — the webui's worker model.
-    Measures aggregate audio-seconds per wall-second; device programs from
-    different jobs interleave, hiding each other's host/transfer gaps —
-    the device queue serializes compute, the overlap wins back the
-    host-side gaps.
+    CoverPipeline from `workers` serving threads — the webui's worker model,
+    including its cache write-behind posture (AICG_STEM_CACHE=behind): the
+    timed section ends when every cover file exists; the deferred cache
+    downloads are then drained and timed separately.
+
+    Fairness: tunnel bandwidth swings ~5x between sessions, so concurrency
+    is judged against ONE serial cover timed in the SAME window
+    (serial_rtf_in_window) — the invariant to hold is agg >= serial, not
+    agg >= some other session's serial number.
 
     `workers` may be a single count or a sequence (AICG_BENCH_WORKERS=2,4,8):
     each count reruns the same jobs through the same warm pipeline, so one
     session locates the saturation point without recompiling/reloading."""
     import threading
 
-    from aicovergen_tpu.io.assets import AssetStore
-    from aicovergen_tpu.pipeline.cover import CoverPipeline
-
     if isinstance(workers, int):
         workers = (workers,)
 
     base = _build_assets()
-    store = AssetStore(base)
-    pipeline = CoverPipeline(store=store)
+    prev_cache = os.environ.get("AICG_STEM_CACHE")
+    os.environ["AICG_STEM_CACHE"] = os.environ.get("AICG_BENCH_CACHE", "behind")
+    pipeline = _get_pipeline()
+    store = pipeline.store
 
     songs = []
     for i in range(n_jobs):
@@ -339,8 +418,21 @@ def bench_throughput(seconds: float, n_jobs: int = 4, workers=(2,)) -> dict:
     # warmup: one cover end-to-end loads/compiles every program
     pipeline.song_cover(songs[0], "BenchVoice", pitch_change=0, index_rate=0.0,
                         output_format="wav")
+    pipeline.drain_cache()
+    tunnel = _tunnel_probe()
 
-    def run_point(n_workers: int) -> float:
+    # the serial yardstick, measured in this window under the same policy
+    shutil.rmtree(store.output_dir, ignore_errors=True)
+    t0 = time.time()
+    pipeline.song_cover(songs[0], "BenchVoice", pitch_change=0, index_rate=0.0,
+                        output_format="wav")
+    serial_wall = time.time() - t0
+    pipeline.drain_cache()
+    serial_rtf = seconds / serial_wall
+    print(f"[bench] serial cover in-window: {serial_wall:.2f}s  "
+          f"rtf={serial_rtf:.2f}", file=sys.stderr)
+
+    def run_point(n_workers: int):
         shutil.rmtree(store.output_dir, ignore_errors=True)
         queue = list(songs)
         lock = threading.Lock()
@@ -365,18 +457,27 @@ def bench_throughput(seconds: float, n_jobs: int = 4, workers=(2,)) -> dict:
         for t in threads:
             t.join()
         wall = time.time() - t0
+        t1 = time.time()
+        pipeline.drain_cache()
+        drain = time.time() - t1
         if errors:
             raise errors[0]
-        return wall
+        return wall, drain
 
-    sweep = {}
+    sweep, sweep_drained = {}, {}
     for n_workers in workers:
-        wall = run_point(n_workers)
+        wall, drain = run_point(n_workers)
         sweep[n_workers] = round(n_jobs * seconds / wall, 3)
+        sweep_drained[n_workers] = round(n_jobs * seconds / (wall + drain), 3)
         print(f"[bench] throughput {n_jobs}x{seconds:.0f}s @ {n_workers} "
-              f"workers: {wall:.2f}s  agg_rtf={sweep[n_workers]:.2f}",
+              f"workers: {wall:.2f}s  agg_rtf={sweep[n_workers]:.2f}  "
+              f"(+{drain:.2f}s cache drain -> {sweep_drained[n_workers]:.2f})",
               file=sys.stderr)
     shutil.rmtree(store.output_dir, ignore_errors=True)
+    if prev_cache is None:
+        os.environ.pop("AICG_STEM_CACHE", None)
+    else:
+        os.environ["AICG_STEM_CACHE"] = prev_cache
     best_workers = max(sweep, key=sweep.get)
     agg_rtf = sweep[best_workers]
     return {
@@ -386,6 +487,10 @@ def bench_throughput(seconds: float, n_jobs: int = 4, workers=(2,)) -> dict:
         "vs_baseline": round(agg_rtf / BASELINE_RTF, 3),
         "workers": best_workers,
         "sweep": {str(k): v for k, v in sweep.items()},
+        "sweep_drained": {str(k): v for k, v in sweep_drained.items()},
+        "serial_rtf_in_window": round(serial_rtf, 3),
+        "concurrency_vs_serial": round(agg_rtf / serial_rtf, 3),
+        "tunnel": tunnel,
     }
 
 
@@ -599,7 +704,10 @@ def main() -> int:
             try:
                 tp = bench_throughput(seconds, n_jobs=4, workers=(2, 4))
                 result["throughput"] = {
-                    k: tp[k] for k in ("metric", "value", "unit", "workers", "sweep")
+                    k: tp[k]
+                    for k in ("metric", "value", "unit", "workers", "sweep",
+                              "sweep_drained", "serial_rtf_in_window",
+                              "concurrency_vs_serial", "tunnel")
                 }
             except Exception as e:  # pragma: no cover
                 print(f"[bench] throughput add-on failed: {e}", file=sys.stderr)
