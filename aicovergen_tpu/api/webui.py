@@ -82,6 +82,15 @@ def _worker(pipeline, board: JobBoard):
             job["status"] = "error"
             job["message"] = str(e)
             traceback.print_exc()
+        # idle-time drain: with the write-behind stem cache the queue being
+        # empty is the cheap moment to join deferred writes (and surface any
+        # writer failure in the server log instead of a later job)
+        drain = getattr(pipeline, "drain_cache", None)
+        if drain is not None and board.queue.empty():
+            try:
+                drain()
+            except Exception:
+                traceback.print_exc()
 
 
 def extract_model_zip(zip_bytes: bytes, extraction_folder: str) -> None:

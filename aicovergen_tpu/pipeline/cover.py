@@ -243,6 +243,18 @@ class CoverPipeline:
             self._cache_futures.setdefault(song_dir, []).append(
                 self._cache_pool.submit(guarded)
             )
+            # bound the bookkeeping on long-running servers: successfully
+            # completed futures need no join; failed ones stay so drain_cache
+            # still re-raises them
+            for d in list(self._cache_futures):
+                kept = [
+                    f for f in self._cache_futures[d]
+                    if not f.done() or f.exception() is not None
+                ]
+                if kept:
+                    self._cache_futures[d] = kept
+                else:
+                    del self._cache_futures[d]
 
     def drain_cache(self, song_dir: Optional[str] = None) -> None:
         """Join pending write-behind cache writes (one song's, or all).
@@ -587,12 +599,21 @@ class CoverPipeline:
         # host I/O with each other's device sections but never interleave
         # device round trips (see __post_init__).
         with AsyncWriter() as writer, contextlib.ExitStack() as gate:
+            # behind mode holds deferred cache writes here and releases them
+            # to the pipeline writer only AFTER the cover's critical path is
+            # done: the device->host cache downloads share one tunnel stream
+            # with the critical-path fetches, and starting them mid-cover
+            # measurably inflates the user-visible wall (split/mix fetches
+            # convoy behind stem downloads).  The device int16 buffers the
+            # closures capture stay alive in HBM until drained — ~85 MB for a
+            # 120 s song, bounded by the single cache-writer thread.
+            deferred_cache: list = []
 
             def cache_submit(fn):
                 if not cache_stems:
                     return
                 if cache_mode == "behind":
-                    self._cache_submit_behind(song_dir, fn)
+                    deferred_cache.append(fn)
                 else:
                     writer.submit(fn)
 
@@ -778,6 +799,11 @@ class CoverPipeline:
             # is stem-download time the compute stages did not hide
             with metrics.stage("host_io/flush"):
                 writer.join()
+        # critical path done — release the deferred cache downloads/writes to
+        # the background writer (drain_cache joins them; a re-cover of this
+        # song joins them before trusting the on-disk cache)
+        for fn in deferred_cache:
+            self._cache_submit_behind(song_dir, fn)
         if not keep_files:
             display_progress("[~] Removing intermediate audio files...", 0.95, progress)
             for path in (stem_path("Vocals"), stem_path("Vocals_Main"), mixed_path):
