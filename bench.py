@@ -319,6 +319,12 @@ def bench_cover(reps: int, seconds: float) -> dict:
     # are drained and reported separately
     if steady and time.time() - t_start + best_wall * 1.5 < hard_cap:
         wall_srv, drain_srv, _ = run(80, seconds, cache_mode="behind")
+        # one repeat when the window allows: a single rep is hostage to a
+        # transient tunnel stall (per-rep spread measured up to 2x)
+        if time.time() - t_start + wall_srv * 1.2 < hard_cap:
+            w2, d2, _ = run(81, seconds, cache_mode="behind")
+            if w2 < wall_srv:
+                wall_srv, drain_srv = w2, d2
         print(f"[bench] serving-posture rep (cache write-behind): "
               f"{wall_srv:.2f}s  rtf={seconds / wall_srv:.2f}  "
               f"(+{drain_srv:.2f}s cache drain)", file=sys.stderr)
@@ -680,7 +686,9 @@ def main() -> int:
         return 2
 
     mode = os.environ.get("AICG_BENCH", "cover")
-    reps = int(os.environ.get("AICG_BENCH_REPS", 1))
+    # 2 steady reps by default: each costs ~8-20 s against a ~300-500 s
+    # warmup, and a single rep is hostage to one transient tunnel stall
+    reps = int(os.environ.get("AICG_BENCH_REPS", 2))
     if mode == "vc":
         seconds = float(os.environ.get("AICG_BENCH_SECONDS", 30))
         result = bench_vc(reps, seconds)
