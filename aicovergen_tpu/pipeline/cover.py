@@ -66,7 +66,7 @@ def _bucket_len(n: int, bucket: int) -> int:
     return max(1, -(-n // bucket)) * bucket
 
 
-def _prefetched_chunks(arr, n: int, step: int = 0):
+def _prefetched_chunks(arr, n: int, step: int = 0, on_fetch_done=None):
     """Yield host int16 chunks of the device array `arr` (C, T>=n), fetching
     one chunk ahead on a worker thread so the tunnel transfer of chunk k+1
     overlaps whatever the consumer (the mp3 encoder) does with chunk k.
@@ -86,9 +86,17 @@ def _prefetched_chunks(arr, n: int, step: int = 0):
         step = T
     bounds = [(a, min(a + step, T)) for a in range(0, T, step) if a < n]
     if not bounds:
+        if on_fetch_done is not None:
+            on_fetch_done()
         return
     if len(bounds) == 1:
-        yield np.asarray(arr)
+        out = np.asarray(arr)
+        # all device work for this track is done once the fetch lands;
+        # let the caller release its device admission gate before the
+        # (host-only) consumer runs
+        if on_fetch_done is not None:
+            on_fetch_done()
+        yield out
         return
     with cf.ThreadPoolExecutor(1) as ex:
         def fetch(ab):
@@ -99,7 +107,10 @@ def _prefetched_chunks(arr, n: int, step: int = 0):
             cur = fut.result()
             fut = ex.submit(fetch, nxt)
             yield cur
-        yield fut.result()
+        last = fut.result()
+        if on_fetch_done is not None:
+            on_fetch_done()
+        yield last
 
 
 # shared whole-track length-class knob (utils/config.py: AICG_LEN_BUCKET_S)
@@ -777,11 +788,29 @@ class CoverPipeline:
 
             chunk_s = float(os.environ.get("AICG_ENCODE_CHUNK_S", 0))
             if chunk_s <= 0:
-                with metrics.stage("mixdown/fetch"):
-                    mix_chunks = iter([np.asarray(q_mix)])
-                gate.close()  # host-only from here; let the next cover in
+                # AICG_FETCH_IN_GATE=0 releases the gate BEFORE the bulk
+                # fetch: the ~0.5-1.6 s D2H then overlaps the next worker's
+                # device section instead of holding it out.  The transfer
+                # shares the one tunnel stream with that worker's uploads/
+                # dispatches, so whether the overlap wins depends on the
+                # window's bandwidth-vs-latency mix — measured per-session
+                # by bench.py's throughput sweep; default keeps the r03-safe
+                # exclusive posture.
+                if os.environ.get("AICG_FETCH_IN_GATE", "1") == "0":
+                    gate.close()
+                    with metrics.stage("mixdown/fetch"):
+                        mix_chunks = iter([np.asarray(q_mix)])
+                else:
+                    with metrics.stage("mixdown/fetch"):
+                        mix_chunks = iter([np.asarray(q_mix)])
+                    gate.close()  # host-only from here; let the next cover in
             else:
-                mix_chunks = _prefetched_chunks(q_mix, n_44, int(chunk_s * SR_MDX))
+                # the gate releases as soon as the LAST chunk's fetch lands
+                # (not when encode finishes): the remaining mp3/WAV encode is
+                # host-only, so the next cover's device section starts under it
+                mix_chunks = _prefetched_chunks(
+                    q_mix, n_44, int(chunk_s * SR_MDX), on_fetch_done=gate.close
+                )
             with metrics.stage("mixdown/encode"):
                 cover_path = os.path.join(
                     song_dir, f"{base} ({voice_model} Ver).{output_format}"
