@@ -788,15 +788,18 @@ class CoverPipeline:
 
             chunk_s = float(os.environ.get("AICG_ENCODE_CHUNK_S", 0))
             if chunk_s <= 0:
-                # AICG_FETCH_IN_GATE=0 releases the gate BEFORE the bulk
-                # fetch: the ~0.5-1.6 s D2H then overlaps the next worker's
-                # device section instead of holding it out.  The transfer
-                # shares the one tunnel stream with that worker's uploads/
-                # dispatches, so whether the overlap wins depends on the
-                # window's bandwidth-vs-latency mix — measured per-session
-                # by bench.py's throughput sweep; default keeps the r03-safe
-                # exclusive posture.
-                if os.environ.get("AICG_FETCH_IN_GATE", "1") == "0":
+                # The gate releases BEFORE the bulk fetch (default): the
+                # ~0.5-1.6 s D2H then overlaps the next worker's device
+                # section instead of holding it out.  The transfer shares the
+                # one tunnel stream with that worker's uploads/dispatches,
+                # but the compute section stays exclusive, so this is NOT the
+                # r03 ungated collapse (that interleaved whole device
+                # sections): A/B on the live tunnel measured 2-worker
+                # aggregate 26.9-28.2x with the early release vs 20.4-22.6x
+                # holding the gate through the fetch, serial unchanged.
+                # AICG_FETCH_IN_GATE=1 restores the exclusive-fetch posture
+                # for windows where a shared D2H convoys.
+                if os.environ.get("AICG_FETCH_IN_GATE", "0") == "0":
                     gate.close()
                     with metrics.stage("mixdown/fetch"):
                         mix_chunks = iter([np.asarray(q_mix)])
