@@ -399,7 +399,8 @@ def bench_cover(reps: int, seconds: float) -> dict:
     return result
 
 
-def bench_throughput(seconds: float, n_jobs: int = 4, workers=(2,)) -> dict:
+def bench_throughput(seconds: float, n_jobs: int = 4, workers=(2,),
+                     deadline: float | None = None) -> dict:
     """BASELINE config 5 (per-chip slice): N concurrent covers through one
     CoverPipeline from `workers` serving threads — the webui's worker model,
     including its cache write-behind posture (AICG_STEM_CACHE=behind): the
@@ -413,7 +414,9 @@ def bench_throughput(seconds: float, n_jobs: int = 4, workers=(2,)) -> dict:
 
     `workers` may be a single count or a sequence (AICG_BENCH_WORKERS=2,4,8):
     each count reruns the same jobs through the same warm pipeline, so one
-    session locates the saturation point without recompiling/reloading."""
+    session locates the saturation point without recompiling/reloading.
+    `deadline` (absolute time.time()) cuts the sweep early in a slow tunnel
+    window — at least one point always runs."""
     import threading
 
     if isinstance(workers, int):
@@ -490,6 +493,10 @@ def bench_throughput(seconds: float, n_jobs: int = 4, workers=(2,)) -> dict:
 
     sweep, sweep_drained = {}, {}
     for n_workers in workers:
+        if sweep and deadline is not None and time.time() > deadline:
+            print(f"[bench] throughput sweep cut at deadline before "
+                  f"{n_workers} workers", file=sys.stderr)
+            break
         wall, drain = run_point(n_workers)
         sweep[n_workers] = round(n_jobs * seconds / wall, 3)
         sweep_drained[n_workers] = round(n_jobs * seconds / (wall + drain), 3)
@@ -717,22 +724,26 @@ def main() -> int:
         seconds = float(os.environ.get("AICG_BENCH_SECONDS", 120))
         t_cover = time.time()
         result = bench_cover(reps, seconds)
-        # piggy-back a throughput point (BASELINE config 5) on the warm
-        # pipeline: same song length -> zero fresh compiles, so 4 concurrent
-        # jobs cost ~2 serial covers of wall time.  Skipped when the cover
-        # bench already ate the window (AICG_BENCH_THROUGHPUT=0 to disable).
+        # piggy-back the BASELINE config-5 throughput shape (8 concurrent
+        # covers) on the warm pipeline: same song length -> zero fresh
+        # compiles.  The 2/4/8 worker sweep locates the saturation point;
+        # the deadline cuts later points in a slow tunnel window.  Skipped
+        # entirely when the cover bench already ate the window
+        # (AICG_BENCH_THROUGHPUT=0 to disable).
         spent = time.time() - t_cover
         window = float(os.environ.get("AICG_BENCH_HARD_CAP", 3000))
         if (
             os.environ.get("AICG_BENCH_THROUGHPUT", "1") != "0"
             and result.get("steady_state")
-            and spent + 10 * seconds / max(result["value"], 0.1) < window
+            and spent + 14 * seconds / max(result["value"], 0.1) < window
         ):
             try:
-                tp = bench_throughput(seconds, n_jobs=4, workers=(2, 4))
+                tp = bench_throughput(seconds, n_jobs=8, workers=(2, 4, 8),
+                                      deadline=t_cover + window)
                 result["throughput"] = {
                     k: tp[k]
-                    for k in ("metric", "value", "unit", "workers", "sweep",
+                    for k in ("metric", "value", "unit", "vs_baseline",
+                              "workers", "sweep",
                               "sweep_drained", "serial_rtf_in_window",
                               "concurrency_vs_serial", "cache_policy", "tunnel")
                 }
