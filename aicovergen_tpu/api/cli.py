@@ -120,7 +120,7 @@ def run_via_server(args) -> int:
         if msg != last_msg:
             print(msg, flush=True)
             last_msg = msg
-        if job["status"] == "done":
+        if job["status"] == "done" and "result" in job:
             break
         if job["status"] == "error":
             raise SystemExit(f"server job failed: {job.get('message')}")

@@ -23,11 +23,9 @@ OUTPUT_FORMATS = ("mp3", "wav")
 
 
 def _serving_mesh():
-    from ..parallel.mesh import serving_mesh
-    from ..utils.config import default_config
+    from ..parallel.mesh import serving_mesh_from_config
 
-    cfg = default_config()
-    return serving_mesh(cfg.num_devices, cfg.model_parallel)
+    return serving_mesh_from_config()
 
 
 @dataclass
@@ -49,9 +47,14 @@ class Predictor:
         from ..pipeline.cover import CoverPipeline
 
         # serving posture: cache files land behind the response (see
-        # utils/config.py stem_cache_mode)
-        os.environ.setdefault("AICG_STEM_CACHE", "behind")
-        self.pipeline = CoverPipeline(self.store, runtime=default_config(), mesh=_serving_mesh())
+        # utils/config.py stem_cache_mode); per-pipeline knob, explicit
+        # AICG_STEM_CACHE env still wins
+        from ..utils.config import stem_cache_mode
+
+        self.pipeline = CoverPipeline(
+            self.store, runtime=default_config(), mesh=_serving_mesh(),
+            stem_cache=stem_cache_mode(default="behind"),
+        )
 
         if warmup_seconds is None:
             if os.environ.get("AICG_PREDICT_WARMUP", "1") == "0":

@@ -54,11 +54,9 @@ class JobBoard:
 
 
 def _serving_mesh():
-    from ..parallel.mesh import serving_mesh
-    from ..utils.config import default_config
+    from ..parallel.mesh import serving_mesh_from_config
 
-    cfg = default_config()
-    return serving_mesh(cfg.num_devices, cfg.model_parallel)
+    return serving_mesh_from_config()
 
 def _worker(pipeline, board: JobBoard):
     while True:
@@ -72,12 +70,15 @@ def _worker(pipeline, board: JobBoard):
         try:
             job["status"] = "running"
             path = pipeline.song_cover(progress=progress, **params)
-            job["status"] = "done"
-            job["result"] = path
-            job["progress"] = 1.0
             from ..pipeline.f0 import f0_divergence_warnings
 
+            # result/warnings land BEFORE status: a client that observes
+            # status=="done" must be able to read the full payload (the CLI's
+            # run_via_server polls without holding any lock)
             job["warnings"] = f0_divergence_warnings(params.get("f0_method"))
+            job["result"] = path
+            job["progress"] = 1.0
+            job["status"] = "done"
         except Exception as e:  # surface like gr.Error (reference main.py:81-85)
             job["status"] = "error"
             job["message"] = str(e)
@@ -388,9 +389,14 @@ def serve(
 
         # serving posture: stem-cache files are written BEHIND the response
         # (a cover's ~60-130 MB of cache downloads never sit between the user
-        # and their file; re-covers of a song join its pending writes first)
-        os.environ.setdefault("AICG_STEM_CACHE", "behind")
-        pipeline = CoverPipeline(store, runtime=default_config(), mesh=_serving_mesh())
+        # and their file; re-covers of a song join its pending writes first);
+        # per-pipeline knob, explicit AICG_STEM_CACHE env still wins
+        from ..utils.config import stem_cache_mode
+
+        pipeline = CoverPipeline(
+            store, runtime=default_config(), mesh=_serving_mesh(),
+            stem_cache=stem_cache_mode(default="behind"),
+        )
         for _ in range(max(workers, 1)):
             threading.Thread(target=_worker, args=(pipeline, board), daemon=True).start()
         if warmup_voice:

@@ -88,8 +88,16 @@ def read_wav(path: str) -> Tuple[np.ndarray, int]:
     return x[:n].reshape(-1, n_channels).T.copy(), sr
 
 
-def write_wav(path: str, audio: np.ndarray, sr: int, subtype: str = "PCM_16") -> None:
-    """Write (channels, samples) or (samples,) float/int16 audio to WAV."""
+def write_wav(
+    path: str, audio: np.ndarray, sr: int, subtype: str = "PCM_16",
+    atomic: bool = False,
+) -> None:
+    """Write (channels, samples) or (samples,) float/int16 audio to WAV.
+
+    `atomic=True` writes to a same-directory temp file and os.replace()s it
+    into place, so a concurrent reader (the stem-cache existence check of
+    another cover of the same song) either sees a COMPLETE file or none —
+    never a truncated header/payload."""
     audio = np.asarray(audio)
     if audio.ndim == 1:
         audio = audio[None, :]
@@ -111,7 +119,8 @@ def write_wav(path: str, audio: np.ndarray, sr: int, subtype: str = "PCM_16") ->
     raw = payload.tobytes()
     byte_rate = sr * n_channels * bits // 8
     block_align = n_channels * bits // 8
-    with open(path, "wb") as f:
+    target = f"{path}.tmp~" if atomic else path
+    with open(target, "wb") as f:
         f.write(struct.pack("<4sI4s", b"RIFF", 36 + len(raw), b"WAVE"))
         f.write(
             struct.pack(
@@ -120,6 +129,8 @@ def write_wav(path: str, audio: np.ndarray, sr: int, subtype: str = "PCM_16") ->
         )
         f.write(struct.pack("<4sI", b"data", len(raw)))
         f.write(raw)
+    if atomic:
+        os.replace(target, path)
 
 
 def have_ffmpeg() -> bool:

@@ -90,6 +90,16 @@ def serving_mesh(
     return make_mesh(want, model_parallel=mp)
 
 
+def serving_mesh_from_config() -> Optional[Mesh]:
+    """serving_mesh() with widths from the env-tiered RuntimeConfig
+    (AICG_NUM_DEVICES / AICG_MODEL_PARALLEL) — the one constructor every
+    serving entry point (CLI, web UI, Predictor) shares."""
+    from ..utils.config import default_config
+
+    cfg = default_config()
+    return serving_mesh(cfg.num_devices, cfg.model_parallel)
+
+
 def make_chunk_sharder(mesh: Optional[Mesh]):
     """Sharding hook for pipeline.separate.make_chunk_runner: places each
     chunk batch across the "data" axis."""

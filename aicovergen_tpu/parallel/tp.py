@@ -50,12 +50,31 @@ def hubert_tp_spec(path: str) -> P:
     return P()
 
 
-def synth_tp_spec(path: str) -> P:
-    """TP rules for the RVC synthesizer tree: same rules the distributed
-    trainer uses (parallel/train.py:_tp_param_spec), so a train->serve
-    handoff keeps placements."""
-    from .train import _tp_param_spec
+def _tp_param_spec(path_parts, value) -> P:
+    """Tensor-parallel sharding rules for the synthesizer tree: shard the
+    text-encoder FFN hidden dim and attention projections over "model".
+    Lives here (not parallel/train.py) so the serving path never imports
+    the trainer's optax dependency; the trainer imports these same rules,
+    so a train->serve handoff keeps placements."""
+    path = ".".join(path_parts)
+    if ".ffn_layers." in path and path.endswith("conv_1.weight"):
+        return P("model", None, None)
+    if ".ffn_layers." in path and path.endswith("conv_1.bias"):
+        return P("model")
+    if ".ffn_layers." in path and path.endswith("conv_2.weight"):
+        return P(None, "model", None)
+    if ".attn_layers." in path and any(
+        path.endswith(f"conv_{c}.weight") for c in "qkv"
+    ):
+        return P("model", None, None)
+    if ".attn_layers." in path and any(path.endswith(f"conv_{c}.bias") for c in "qkv"):
+        return P("model")
+    return P()
 
+
+def synth_tp_spec(path: str) -> P:
+    """TP rules for the RVC synthesizer tree (same rules the distributed
+    trainer uses)."""
     return _tp_param_spec(tuple(path.split(".")), None)
 
 

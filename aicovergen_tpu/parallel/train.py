@@ -25,6 +25,7 @@ import numpy as np
 import optax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from .tp import _tp_param_spec
 from ..models.discriminators import init_mpd_params, multi_period_discriminator
 from ..models.rvc import RVCConfig
 from ..models.rvc_train import (
@@ -39,23 +40,6 @@ from ..models.rvc_train import (
 )
 
 
-def _tp_param_spec(path_parts: Tuple[str, ...], value) -> P:
-    """Tensor-parallel sharding rules for the synthesizer tree: shard the
-    text-encoder FFN hidden dim and attention projections over "model"."""
-    path = ".".join(path_parts)
-    if ".ffn_layers." in path and path.endswith("conv_1.weight"):
-        return P("model", None, None)
-    if ".ffn_layers." in path and path.endswith("conv_1.bias"):
-        return P("model")
-    if ".ffn_layers." in path and path.endswith("conv_2.weight"):
-        return P(None, "model", None)
-    if ".attn_layers." in path and any(
-        path.endswith(f"conv_{c}.weight") for c in "qkv"
-    ):
-        return P("model", None, None)
-    if ".attn_layers." in path and any(path.endswith(f"conv_{c}.bias") for c in "qkv"):
-        return P("model")
-    return P()
 
 
 def param_shardings(params: dict, mesh: Mesh, tensor_parallel: bool):

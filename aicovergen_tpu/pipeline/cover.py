@@ -17,6 +17,7 @@ preserve the cache/inspection contract, but never re-read within a run.
 from __future__ import annotations
 
 import contextlib
+import logging
 import os
 import threading
 from dataclasses import dataclass, field
@@ -46,6 +47,8 @@ from .effects import (
 )
 from .loader import build_voice_converter
 from .separate import separate
+
+logger = logging.getLogger("aicovergen.cover")
 
 SR_MDX = 44100
 
@@ -196,8 +199,19 @@ class CoverPipeline:
     mesh: Optional[object] = None
     # explicit sharder hook; derived from `mesh` when unset
     shard: Optional[object] = None
+    # per-pipeline stem-cache posture override (sync|behind|off); None
+    # falls back to the AICG_STEM_CACHE env (utils/config.stem_cache_mode).
+    # Serving entry points pass this instead of mutating os.environ, so two
+    # pipelines in one process can hold different postures.
+    stem_cache: Optional[str] = None
 
     def __post_init__(self):
+        if self.stem_cache is not None and self.stem_cache not in (
+            "sync", "behind", "off"
+        ):
+            raise ValueError(
+                f"stem_cache must be sync|behind|off, got {self.stem_cache!r}"
+            )
         if self.mesh is not None and self.shard is None:
             from ..parallel.mesh import make_chunk_sharder
 
@@ -234,6 +248,26 @@ class CoverPipeline:
         self._cache_track_lock = threading.Lock()
 
     def _cache_submit_behind(self, song_dir: str, fn) -> None:
+        # Backpressure: each queued closure pins its device int16 stems in
+        # HBM until written (~85 MB per 120 s cover).  Under sustained load
+        # in a slow-tunnel window the writer can fall behind the cover rate,
+        # so cap the backlog and block THIS serving worker (registration
+        # happens after its cover's critical path) until the writer catches
+        # up — bounded HBM beats an ever-growing queue.
+        cap = max(1, int(os.environ.get("AICG_CACHE_MAX_PENDING", 16)))
+        while True:
+            with self._cache_track_lock:
+                pending = [
+                    f for fs in self._cache_futures.values() for f in fs
+                    if not f.done()
+                ]
+                if len(pending) < cap:
+                    break
+                oldest = pending[0]
+            # wait outside the lock (drain_cache needs it); failures stay
+            # tracked and surface via drain_cache
+            with contextlib.suppress(Exception):
+                oldest.result()
         with self._cache_track_lock:
             if self._cache_pool is None:
                 from concurrent.futures import ThreadPoolExecutor
@@ -267,19 +301,35 @@ class CoverPipeline:
                 else:
                     del self._cache_futures[d]
 
-    def drain_cache(self, song_dir: Optional[str] = None) -> None:
+    def drain_cache(
+        self, song_dir: Optional[str] = None, raise_errors: bool = True
+    ) -> None:
         """Join pending write-behind cache writes (one song's, or all).
         Serving processes call this at shutdown/idle; song_cover calls it for
         its own song before trusting the on-disk cache.  Re-raises the first
-        writer failure."""
+        writer failure — except with raise_errors=False (the pre-cover join),
+        where a failed CACHE write must not abort the next user's cover of
+        that song: writes are atomic (io/audio.py write_wav), so a failure
+        leaves no final stem file and the cover simply re-separates."""
         with self._cache_track_lock:
             if song_dir is None:
                 futs = [f for fs in self._cache_futures.values() for f in fs]
                 self._cache_futures.clear()
             else:
                 futs = self._cache_futures.pop(song_dir, [])
+        first_err = None
         for fut in futs:
-            fut.result()
+            try:
+                fut.result()
+            except Exception as e:
+                if raise_errors:
+                    raise
+                if first_err is None:
+                    first_err = e
+        if first_err is not None:
+            logger.warning(
+                "stem-cache write failed (cover will re-separate): %s", first_err
+            )
 
     def _get_voice_converter(self, voice_model: str):
         """VoiceConverters are read-only after construction; cache them so
@@ -402,7 +452,7 @@ class CoverPipeline:
                     q = quantize_int16(audio)
 
                     def _write(path=path, q=q):
-                        write_wav(path, _fetch_int16(q, step), SR_MDX)
+                        write_wav(path, _fetch_int16(q, step), SR_MDX, atomic=True)
 
                     if cache_submit is not None:
                         cache_submit(_write)
@@ -554,10 +604,11 @@ class CoverPipeline:
         # downloads (the bulk of tunnel D2H traffic) off the user-visible
         # critical path; off skips them.  keep_files is an explicit request
         # for the files, so it overrides off.
-        cache_mode = stem_cache_mode()
+        cache_mode = self.stem_cache or stem_cache_mode()
         if cache_mode == "behind":
-            # the previous cover of this song may still be writing its cache
-            self.drain_cache(song_dir)
+            # the previous cover of this song may still be writing its cache;
+            # a FAILED cache write must not abort this cover (raise_errors)
+            self.drain_cache(song_dir, raise_errors=False)
         cache_stems = cache_mode != "off" or keep_files
 
         # --- acquire + stereo decode; on a cache hit for a YouTube input,
@@ -617,7 +668,9 @@ class CoverPipeline:
             # measurably inflates the user-visible wall (split/mix fetches
             # convoy behind stem downloads).  The device int16 buffers the
             # closures capture stay alive in HBM until drained — ~85 MB for a
-            # 120 s song, bounded by the single cache-writer thread.
+            # 120 s song; _cache_submit_behind caps the backlog
+            # (AICG_CACHE_MAX_PENDING) so sustained overload blocks the
+            # serving worker instead of growing HBM without bound.
             deferred_cache: list = []
 
             def cache_submit(fn):
@@ -643,7 +696,7 @@ class CoverPipeline:
                     orig = to_stereo(wave).astype(np.float32)
                     cache_submit(
                         lambda p=os.path.join(song_dir, f"{base}.wav"), a=orig:
-                            write_wav(p, a, SR_MDX)
+                            write_wav(p, a, SR_MDX, atomic=True)
                     )
                 gate.enter_context(self._device_gate)
                 stems = self.separate_song(
@@ -701,7 +754,8 @@ class CoverPipeline:
                 step_ai = int(cache_fetch_chunk_s() * ai_sr)
                 cache_submit(
                     lambda p=ai_vocals_path, a=converted_dev, s=ai_sr, n=n_ai:
-                        write_wav(p, _fetch_int16(a, step_ai)[None, :n], s)
+                        write_wav(p, _fetch_int16(a, step_ai)[None, :n], s,
+                                  atomic=True)
                 )
                 ai_float = converted_dev.astype(jnp.float32)[None, :] / 32768.0
                 del vc
@@ -730,7 +784,7 @@ class CoverPipeline:
                 step_mx = int(cache_fetch_chunk_s() * ai_sr)
                 cache_submit(
                     lambda p=mixed_path, a=q, s=ai_sr, n=n_ai: write_wav(
-                        p, _fetch_int16(a, step_mx)[:, :n], s
+                        p, _fetch_int16(a, step_mx)[:, :n], s, atomic=True
                     )
                 )
 

@@ -64,13 +64,15 @@ def add_audio_effects_device(
             out = _effects_chain_fused(
                 x, jnp.asarray(H), sr, wet1, wet2, dry_gain, stereo
             )
-            # block on the FIRST chain only: backend errors surface lazily
-            # and must trigger the unfused fallback below, not kill the
-            # cover at the next fetch.  Once proven, dispatch async so the
-            # chain pipelines with the mixdown stages.
-            if not _FFT_CHAIN_PROVEN:
+            # block on the FIRST chain of each program (programs are per
+            # length-class/sr/layout): backend errors surface lazily and
+            # must trigger the unfused fallback below, not kill the cover
+            # at the next fetch.  Once a program is proven, dispatch async
+            # so the chain pipelines with the mixdown stages.
+            key = (x.shape, x.dtype.name, sr)
+            if key not in _FFT_CHAIN_PROVEN:
                 out = jax.block_until_ready(out)
-                _FFT_CHAIN_PROVEN = True
+                _FFT_CHAIN_PROVEN.add(key)
             return out
         except Exception as e:  # pragma: no cover - backend-specific
             _FFT_REVERB_BROKEN = True
@@ -116,7 +118,7 @@ _FFT_REVERB_BROKEN = False
 # once one full-size chain has executed, the program is known-good and a
 # sync would serialize ~0.3 s of host round-trip per cover on a remote
 # tunnel for nothing)
-_FFT_CHAIN_PROVEN = False
+_FFT_CHAIN_PROVEN: set = set()
 
 
 def _reverb(x, sr: int, **kwargs):

@@ -64,11 +64,12 @@ def len_bucket_s() -> int:
     return max(1, int(os.environ.get("AICG_LEN_BUCKET_S", "32")))
 
 
-def stem_cache_mode() -> str:
+def stem_cache_mode(default: str = "sync") -> str:
     """Stem-cache write policy (AICG_STEM_CACHE): how the WAV cache files
     (original, separation stems, converted vocals) reach disk.
 
-      sync   — (default) every cache file is downloaded and written before
+      sync   — (default; serving entry points pass default="behind")
+               every cache file is downloaded and written before
                song_cover returns: the reference's file contract
                (reference src/main.py:166-203 writes each stage's WAV before
                the next starts).
@@ -82,7 +83,7 @@ def stem_cache_mode() -> str:
       off    — cache files are neither downloaded nor written (stateless
                serving hosts); every cover re-separates.
     """
-    mode = os.environ.get("AICG_STEM_CACHE", "sync").lower()
+    mode = os.environ.get("AICG_STEM_CACHE", default).lower()
     if mode not in ("sync", "behind", "off"):
         raise ValueError(f"AICG_STEM_CACHE must be sync|behind|off, got {mode!r}")
     return mode
