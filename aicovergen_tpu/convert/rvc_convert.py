@@ -48,7 +48,11 @@ def save_params_npz(path: str, params: dict, cfg: RVCConfig) -> None:
 
     meta = {k: (list(v) if isinstance(v, tuple) else v) for k, v in cfg.__dict__.items()}
     flat["__config__"] = np.frombuffer(json.dumps(meta).encode(), dtype=np.uint8)
-    np.savez(path, **flat)
+    # atomic: concurrent serving lanes load the same voice; a reader must
+    # never see a partial npz (pipeline/loader.py had exactly this race)
+    from ..pipeline.loader import _atomic_savez
+
+    _atomic_savez(path, **flat)
 
 
 def load_params_npz(path: str) -> Tuple[dict, RVCConfig]:

@@ -119,8 +119,8 @@ def write_wav(
     raw = payload.tobytes()
     byte_rate = sr * n_channels * bits // 8
     block_align = n_channels * bits // 8
-    target = f"{path}.tmp~" if atomic else path
-    with open(target, "wb") as f:
+
+    def emit(f):
         f.write(struct.pack("<4sI4s", b"RIFF", 36 + len(raw), b"WAVE"))
         f.write(
             struct.pack(
@@ -129,8 +129,32 @@ def write_wav(
         )
         f.write(struct.pack("<4sI", b"data", len(raw)))
         f.write(raw)
-    if atomic:
+
+    if not atomic:
+        with open(path, "wb") as f:
+            emit(f)
+        return
+    # unique temp per writer: two concurrent writers of the same final path
+    # (e.g. one song submitted to two serving workers under sync caching)
+    # must never share a temp file, or os.replace can publish an interleaved
+    # WAV — exactly the hazard atomic= is advertised to exclude
+    import tempfile
+
+    fd, target = tempfile.mkstemp(
+        dir=os.path.dirname(path) or ".",
+        prefix=os.path.basename(path) + ".",
+        suffix=".tmp~",
+    )
+    try:
+        with os.fdopen(fd, "wb") as f:
+            emit(f)
         os.replace(target, path)
+    except BaseException:
+        try:
+            os.unlink(target)
+        except OSError:
+            pass
+        raise
 
 
 def have_ffmpeg() -> bool:

@@ -31,7 +31,10 @@ def load_rvc_params(pth_path: str):
 
     cache = _npz_cache_path(pth_path)
     if os.path.exists(cache) and os.path.getmtime(cache) >= os.path.getmtime(pth_path):
-        return load_params_npz(cache)
+        try:
+            return load_params_npz(cache)
+        except Exception:
+            pass  # partial/corrupt cache — rebuild from the checkpoint
     params, cfg = load_rvc_checkpoint(pth_path)
     try:
         save_params_npz(cache, params, cfg)
@@ -56,14 +59,41 @@ def _load_tree_cached(src: str, convert_fn):
 
     cache = _npz_cache_path(src)
     if os.path.exists(cache) and os.path.getmtime(cache) >= os.path.getmtime(src):
-        data = np.load(cache)
-        return nest({k: data[k] for k in data.files})
+        try:
+            data = np.load(cache)
+            return nest({k: data[k] for k in data.files})
+        except Exception:
+            # a concurrent writer's partial file, or stale corruption —
+            # fall through to the real checkpoint (two serving lanes loading
+            # the same voice raced exactly here before the atomic write)
+            pass
     tree = convert_fn(src)
     try:
-        np.savez(cache, **_flatten(tree))
+        _atomic_savez(cache, **_flatten(tree))
     except OSError:
         pass
     return tree
+
+
+def _atomic_savez(cache: str, **arrays) -> None:
+    """np.savez via unique temp + rename: concurrent lanes/processes must
+    never observe a partially written npz (BadZipFile on read)."""
+    import tempfile
+
+    fd, tmp = tempfile.mkstemp(
+        dir=os.path.dirname(cache) or ".",
+        prefix=os.path.basename(cache) + ".", suffix=".tmp~",
+    )
+    try:
+        with os.fdopen(fd, "wb") as f:
+            np.savez(f, **arrays)
+        os.replace(tmp, cache)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
 
 
 @lru_cache(maxsize=4)
