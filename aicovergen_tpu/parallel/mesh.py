@@ -40,6 +40,17 @@ def make_mesh(n_devices: Optional[int] = None, model_parallel: int = 1) -> Mesh:
     return Mesh(arr, ("data", "model"))
 
 
+def submesh(devices, model_parallel: int = 1) -> Mesh:
+    """Mesh over an EXPLICIT device subset — the job-per-submesh serving
+    posture partitions the host's devices into independent lanes
+    (parallel/serving.py), each lane owning one of these meshes."""
+    n = len(devices)
+    if n % model_parallel != 0:
+        raise ValueError(f"{n} devices not divisible by model_parallel={model_parallel}")
+    arr = np.asarray(devices).reshape(n // model_parallel, model_parallel)
+    return Mesh(arr, ("data", "model"))
+
+
 def shard_batch(x, mesh: Mesh):
     """Place an array with its leading axis split across "data"."""
     spec = P("data", *([None] * (x.ndim - 1)))
