@@ -348,9 +348,24 @@ class F0Estimator:
         raise ValueError(f"unknown f0 method: {method}")
 
     def _hybrid(self, x, p_len, methods_str, filter_radius, crepe_hop_length):
-        """nan-median over member methods (vc_infer_pipeline.py:175-260)."""
+        """nan-median over member methods (vc_infer_pipeline.py:175-260).
+
+        Parity with the reference: method-string parsing (:188-191), the
+        0.999-quantile amplitude normalization of the member input (:196-197),
+        and the first-frame drop for crepe/crepe-tiny/harvest/dio members
+        (:219-244).  Two deliberate repairs, both documented in
+        docs/F0_METHODS.md: members are length-fitted to p_len before the
+        median (the reference nanmedians a ragged stack, which crashes on
+        modern numpy whenever members disagree by one frame), and unvoiced
+        zeros become NaN so one method voting "unvoiced" abstains instead of
+        dragging the median to half-pitch (the reference medians the raw
+        zeros, :257-259)."""
         inner = methods_str.split("hybrid")[1].replace("[", "").replace("]", "")
         methods = inner.split("+")
+        x = np.asarray(x, np.float64)
+        q = float(np.quantile(np.abs(x), 0.999))
+        if q > 0:
+            x = x / q
         stack = []
         for m in methods:
             f0 = self.compute(x, p_len, m, filter_radius, crepe_hop_length)
