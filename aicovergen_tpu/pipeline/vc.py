@@ -571,10 +571,16 @@ class VoiceConverter:
             if windowed_ok and (f0_dev is not None or not self.synth_cfg.if_f0):
                 n_c = _n_split_centers(n_true, rt)
                 if n_c > 0:
+                    import time as _time
+
+                    _t0 = _time.perf_counter()
                     flat = np.asarray(
                         _split_windows_pack(
                             hpf_b, f0_dev, n_c, SR * rt.x_center, SR * rt.x_query
                         )
+                    )
+                    metrics.xfer(
+                        "d2h_crit", flat.nbytes, _time.perf_counter() - _t0
                     )
                     wlen = 2 * SR * rt.x_query + WINDOW
                     opt_ts = _split_points_from_windows(
@@ -586,6 +592,7 @@ class VoiceConverter:
                     opt_ts = []
                     if f0_dev is not None:
                         raw_f0 = np.asarray(f0_dev)
+                        metrics.xfer("d2h_crit", raw_f0.nbytes)
             else:
                 # whole-track download, f32 over the wire (the device value
                 # IS f32 — an f64 fetch doubles the bytes for zero extra
