@@ -60,8 +60,15 @@ class Predictor:
             if os.environ.get("AICG_PREDICT_WARMUP", "1") == "0":
                 warmup_seconds = 0.0
             else:
-                warmup_seconds = float(os.environ.get("AICG_WARMUP_SECONDS", 240))
-        if warmup_seconds and warmup_seconds > 0:
+                # comma list supported ("240,120"): pre-loads each class's
+                # whole-track executables at boot (docs/PERFORMANCE.md
+                # "The executable set, audited")
+                raw = os.environ.get("AICG_WARMUP_SECONDS", "240")
+                classes = [float(s) for s in str(raw).split(",") if s.strip()]
+                warmup_seconds = classes if len(classes) != 1 else classes[0]
+        if warmup_seconds and (
+            isinstance(warmup_seconds, (list, tuple)) or warmup_seconds > 0
+        ):
             have_assets = os.path.exists(self.store.hubert_path()) and any(
                 n.endswith(".onnx")
                 for n in (
@@ -71,7 +78,7 @@ class Predictor:
                 )
             )
             if have_assets:
-                print(f"[predict] warming up ({warmup_seconds:.0f}s class)...", flush=True)
+                print(f"[predict] warming up ({warmup_seconds!r}s class)...", flush=True)
                 try:
                     spent = self.pipeline.warmup(seconds=warmup_seconds)
                     print(f"[predict] warmup done in {spent:.1f}s", flush=True)

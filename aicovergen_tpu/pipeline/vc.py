@@ -444,14 +444,19 @@ class VoiceConverter:
 
         # zero-pad the source to a bucketed length + nb so every row slice is
         # in bounds and the program is shared across a 32 s length class
-        src_len = audio_pad.shape[-1]
-        src_target = self._bucket_len(src_len) + nb
-        src = jnp.pad(audio_pad.astype(jnp.float32), (0, src_target - src_len))
-        batch_j = _gather_segments(src, starts_j, valid_j, nb)
-        if self.shard is not None:
-            batch_j = self.shard(batch_j)
-            valid_j = self.shard(valid_j)
+        with metrics.stage("vc/gather"):
+            src_len = audio_pad.shape[-1]
+            src_target = self._bucket_len(src_len) + nb
+            src = jnp.pad(audio_pad.astype(jnp.float32), (0, src_target - src_len))
+            batch_j = _gather_segments(src, starts_j, valid_j, nb)
+            if self.shard is not None:
+                batch_j = self.shard(batch_j)
+                valid_j = self.shard(valid_j)
+            stage_sync(batch_j)
         with metrics.stage("vc/hubert"):
+            if os.environ.get("AICG_DEBUG_SHAPES"):
+                print(f"[vc] hubert batch {batch_j.shape} {batch_j.dtype} "
+                      f"feats_dtype {tree_dtype(self.hubert_params)}", flush=True)
             feats = _features_stage(
                 self.hubert_params, batch_j, valid_j, self.synth_cfg.version
             )
@@ -479,6 +484,9 @@ class VoiceConverter:
                 rng,
                 zero_noise=os.environ.get("AICG_ZERO_NOISE", "0") == "1",
             )
+            # attribution sync (AICG_STAGE_SYNC only): without it the NSF
+            # decode lands in whichever later stage first blocks
+            stage_sync(audio)
             if as_numpy:
                 audio = np.asarray(audio, np.float32)
         if as_numpy:
@@ -679,7 +687,9 @@ class VoiceConverter:
                 audio_opt = jnp.asarray(audio_opt, jnp.float32)
                 audio_max = jnp.max(jnp.abs(audio_opt)) / 0.99
                 scale = jnp.where(audio_max > 1, 32768.0 / audio_max, 32768.0)
-                return (audio_opt * scale).astype(jnp.int16), out_sr, n_out
+                q16 = (audio_opt * scale).astype(jnp.int16)
+                stage_sync(q16)  # attribution sync (AICG_STAGE_SYNC only)
+                return q16, out_sr, n_out
             audio_max = np.abs(audio_opt).max() / 0.99
             max_int16 = 32768.0
             if audio_max > 1:

@@ -383,14 +383,20 @@ def bench_cover(reps: int, seconds: float) -> dict:
     # whichever stage first blocks on a fetch — fine for the headline total,
     # useless for cross-round stage comparisons).  The headline RTF above
     # stays the unsynced best; the synced wall is reported separately.
+    # cache_mode="off": with the cache on, the writer's background stem
+    # downloads share the tunnel with every stage's sync fetch and inflate
+    # the per-stage numbers by seconds of unrelated transfer (measured:
+    # vc/hubert read 0.96 s with cache traffic vs ~0.2 s of actual compute)
+    # — the synced table is pipeline anatomy, so it runs cache-free.
     if steady and time.time() - t_start + best_wall * 1.5 < hard_cap:
-        wall_sync, _, metrics_sync = run(90, seconds, sync=True)
+        wall_sync, _, metrics_sync = run(90, seconds, sync=True, cache_mode="off")
         print(f"[bench] synced rep: {wall_sync:.2f}s", file=sys.stderr)
         result["stages"] = {
             name: entry["seconds"]
             for name, entry in metrics_sync.report()["stages"].items()
         }
         result["stages_synced"] = True
+        result["stages_cache"] = "off"  # anatomy rep runs cache-free
         result["synced_wall_s"] = round(wall_sync, 2)
         w_n, _mb = _norm_wall(
             wall_sync, metrics_sync.report(), tunnel.get("d2h_mbps", 0.0),
