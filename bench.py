@@ -391,6 +391,15 @@ def bench_cover(reps: int, seconds: float) -> dict:
     if steady and time.time() - t_start + best_wall * 1.5 < hard_cap:
         wall_sync, _, metrics_sync = run(90, seconds, sync=True, cache_mode="off")
         print(f"[bench] synced rep: {wall_sync:.2f}s", file=sys.stderr)
+        # transient tunnel stalls (observed: a 21 MB upload taking 10.9 s
+        # mid-rep) poison the whole stage table; one retry when the synced
+        # wall is wildly above the unsynced best
+        if wall_sync > 2.0 * best_wall and time.time() - t_start + wall_sync < hard_cap:
+            w2, _, m2 = run(95, seconds, sync=True, cache_mode="off")
+            print(f"[bench] synced retry (stall suspected): {w2:.2f}s",
+                  file=sys.stderr)
+            if w2 < wall_sync:
+                wall_sync, metrics_sync = w2, m2
         result["stages"] = {
             name: entry["seconds"]
             for name, entry in metrics_sync.report()["stages"].items()
