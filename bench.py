@@ -588,6 +588,16 @@ def bench_throughput(seconds: float, n_jobs: int = 4, workers=(2,),
                   f"{n_workers} workers", file=sys.stderr)
             break
         wall, drain = run_point(n_workers)
+        # best-of-2 when the window allows: a single pass is hostage to a
+        # transient tunnel stall (observed: the same 4-worker point reading
+        # 29.5x and 19.0x in different passes of one session)
+        if (
+            os.environ.get("AICG_BENCH_SWEEP_REPS", "2") != "1"
+            and (deadline is None or time.time() + wall < deadline)
+        ):
+            w2, d2 = run_point(n_workers)
+            if w2 < wall:
+                wall, drain = w2, d2
         sweep[n_workers] = round(n_jobs * seconds / wall, 3)
         sweep_drained[n_workers] = round(n_jobs * seconds / (wall + drain), 3)
         print(f"[bench] throughput {n_jobs}x{seconds:.0f}s @ {n_workers} "
