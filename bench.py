@@ -588,11 +588,18 @@ def bench_throughput(seconds: float, n_jobs: int = 4, workers=(2,),
                   f"{n_workers} workers", file=sys.stderr)
             break
         wall, drain = run_point(n_workers)
-        # best-of-2 when the window allows: a single pass is hostage to a
-        # transient tunnel stall (observed: the same 4-worker point reading
-        # 29.5x and 19.0x in different passes of one session)
+        # retry ANOMALOUS points when the window allows: a single pass is
+        # hostage to a transient tunnel stall (observed: the same 4-worker
+        # point reading 29.5x and 19.0x in different passes of one session).
+        # Only suspicious reads retry — an unconditional best-of-2 could eat
+        # the deadline and cut the 8-worker point entirely.
+        agg = n_jobs * seconds / wall
+        suspicious = agg < serial_rtf or (
+            sweep and agg < 0.85 * max(sweep.values())
+        )
         if (
-            os.environ.get("AICG_BENCH_SWEEP_REPS", "2") != "1"
+            suspicious
+            and os.environ.get("AICG_BENCH_SWEEP_REPS", "2") != "1"
             and (deadline is None or time.time() + wall < deadline)
         ):
             w2, d2 = run_point(n_workers)
