@@ -63,9 +63,11 @@ class Predictor:
                 # comma list supported ("240,120"): pre-loads each class's
                 # whole-track executables at boot (docs/PERFORMANCE.md
                 # "The executable set, audited")
-                raw = os.environ.get("AICG_WARMUP_SECONDS", "240")
-                classes = [float(s) for s in str(raw).split(",") if s.strip()]
-                warmup_seconds = classes if len(classes) != 1 else classes[0]
+                from ..utils.config import warmup_classes
+
+                warmup_seconds = warmup_classes(
+                    os.environ.get("AICG_WARMUP_SECONDS", "240")
+                )
         if warmup_seconds and (
             isinstance(warmup_seconds, (list, tuple)) or warmup_seconds > 0
         ):

@@ -146,6 +146,12 @@ def write_wav(
         suffix=".tmp~",
     )
     try:
+        # mkstemp creates 0600 and os.replace preserves it; published cache
+        # files must keep the umask-derived mode a plain open() would give
+        # (other uids may serve/consume the output dir)
+        um = os.umask(0)
+        os.umask(um)
+        os.fchmod(fd, 0o666 & ~um)
         with os.fdopen(fd, "wb") as f:
             emit(f)
         os.replace(target, path)

@@ -414,6 +414,11 @@ class CoverPipeline:
         # padding waste (11 -> 16 rows, +45%) would exceed the per-row gain.
         # AICG_MDX_BATCH overrides the base (default 8).
         base = int(os.environ.get("AICG_MDX_BATCH", self.mdx_batch_size))
+        if self.mesh is not None:
+            # same floor as __post_init__: batches must split evenly over
+            # the "data" axis — an env override below the mesh width would
+            # fail the shard placement mid-cover
+            base = max(base, self.mesh.shape["data"])
         batch = base * 2 if params.dim_t <= 256 else base
         primary, complement = separate(
             wave, model_fn, params,

@@ -85,6 +85,11 @@ def _atomic_savez(cache: str, **arrays) -> None:
         prefix=os.path.basename(cache) + ".", suffix=".tmp~",
     )
     try:
+        # keep the umask-derived mode a plain open() would give (mkstemp
+        # creates 0600; shared model caches may be read by other uids)
+        um = os.umask(0)
+        os.umask(um)
+        os.fchmod(fd, 0o666 & ~um)
         with os.fdopen(fd, "wb") as f:
             np.savez(f, **arrays)
         os.replace(tmp, cache)

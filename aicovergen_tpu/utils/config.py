@@ -64,6 +64,22 @@ def len_bucket_s() -> int:
     return max(1, int(os.environ.get("AICG_LEN_BUCKET_S", "32")))
 
 
+def warmup_classes(raw) -> object:
+    """Parse a warmup length-class spec ("240", "240,120", 240.0, or an
+    iterable) into what CoverPipeline.warmup accepts: a float for one class,
+    a tuple for several, 0.0 for an empty/blank spec (= skip warmup).  One
+    shared parser so the webui and the Predictor can't drift."""
+    if isinstance(raw, (int, float)):
+        return float(raw)
+    if isinstance(raw, (list, tuple)):
+        vals = tuple(float(v) for v in raw)
+    else:
+        vals = tuple(float(s) for s in str(raw).split(",") if s.strip())
+    if not vals:
+        return 0.0
+    return vals[0] if len(vals) == 1 else vals
+
+
 def stem_cache_mode(default: str = "sync") -> str:
     """Stem-cache write policy (AICG_STEM_CACHE): how the WAV cache files
     (original, separation stems, converted vocals) reach disk.

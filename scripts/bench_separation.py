@@ -115,10 +115,8 @@ def main():
         xb = jnp.asarray(chunks)
         sync(xb)
 
-        # reach the cached jitted denoise program through the runner cache
-        cache = model_fn.__dict__["_aicg_runners"]
-        # rebuild the exact fn: easiest is to time the public runner on a
-        # device-resident input (no transfer in the loop)
+        # time the public runner on a device-resident input (no transfer in
+        # the loop)
         def net_pass():
             out = runner(xb, denoise=True)
             sync(out)
